@@ -1,0 +1,76 @@
+"""Model factory — the TPU equivalent of the reference's arch dispatch
+(/root/reference/chexpert.py:460-502).
+
+build_model(name, ...) returns (module, optimizer_spec) where optimizer_spec
+captures the per-arch optimizer/scheduler choices:
+  densenet121 / resnet152 / aaresnet152: Adam(lr)            (chexpert.py:470,485,494)
+  aadensenet121: SGD(momentum .9, nesterov) + MultiStep[40k, 60k]
+                                                             (chexpert.py:479-480)
+  efficientnet-b*: RMSprop(momentum .9, eps 1e-3) + staircase exponential
+                   decay gamma=lr_decay_factor               (chexpert.py:499-500)
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from chexpert_tpu.models.densenet import AttnParams, DenseNet
+from chexpert_tpu.models.efficientnet import SCALING_PARAMS, EfficientNet
+from chexpert_tpu.models.resnet import ResNet, WideResNet
+
+N_CLASSES = 5  # competition pathologies (reference dataset.py:25)
+
+
+@dataclasses.dataclass(frozen=True)
+class OptimizerSpec:
+    kind: str  # 'adam' | 'sgd_nesterov' | 'rmsprop'
+    schedule: str = "constant"  # 'constant' | 'multistep' | 'exponential'
+    milestones: Tuple[int, ...] = ()
+    decay_factor: float = 0.97
+    decay_steps: int = 1  # staircase period for 'exponential'
+    momentum: float = 0.9
+    eps: float = 1e-3
+    weight_decay: float = 0.0
+
+
+def build_model(
+    name: str,
+    n_classes: int = N_CLASSES,
+    image_size: int = 320,
+    dtype=jnp.bfloat16,
+    attn_impl: str = "pallas",
+) -> Tuple[nn.Module, OptimizerSpec]:
+    if name == "densenet121":
+        return (
+            DenseNet(32, (6, 12, 24, 16), 64, num_classes=n_classes, dtype=dtype),
+            OptimizerSpec("adam"),
+        )
+    if name == "aadensenet121":
+        attn = AttnParams(k=0.2, v=0.1, nh=8, relative=True, input_dims=(image_size, image_size))
+        return (
+            DenseNet(32, (6, 12, 24, 16), 64, num_classes=n_classes, attn=attn,
+                     dtype=dtype, attn_impl=attn_impl),
+            OptimizerSpec("sgd_nesterov", "multistep", milestones=(40000, 60000)),
+        )
+    if name == "resnet152":
+        return (
+            ResNet("bottleneck", (3, 8, 36, 3), num_classes=n_classes, dtype=dtype),
+            OptimizerSpec("adam"),
+        )
+    if name == "aaresnet152":
+        attn = AttnParams(k=0.2, v=0.1, nh=8, relative=True, input_dims=(image_size, image_size))
+        return (
+            ResNet("bottleneck", (3, 8, 36, 3), num_classes=n_classes, attn=attn,
+                   dtype=dtype, attn_impl=attn_impl),
+            OptimizerSpec("adam"),
+        )
+    if name in SCALING_PARAMS:
+        return (
+            EfficientNet(name, num_classes=n_classes, dtype=dtype),
+            OptimizerSpec("rmsprop", "exponential"),
+        )
+    raise RuntimeError(f"Model architecture not supported: {name}")

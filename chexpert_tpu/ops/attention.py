@@ -1,0 +1,115 @@
+"""2-D relative-position multi-head spatial self-attention (XLA einsum path).
+
+This is the compute core of the attention-augmented convolution
+(cf /root/reference/models/attn_aug_conv.py:43-97 for behavior): multi-head
+self-attention over the H*W spatial tokens of a feature map, with learned 2-D
+relative-position logits added per head.
+
+Two implementations live in this package:
+  * this module — the XLA einsum path. It can optionally return the softmax
+    attention weights (needed for attention-map visualization, reference
+    attn_aug_conv.py:87 stores them on the module) and is the numerical
+    ground truth for the fused kernel;
+  * chexpert_tpu.ops.pallas_attention — a blockwise (flash-style) Pallas TPU
+    kernel that never materializes the (HW, HW) logits tensor.
+
+Key identity used by both: the relative-width logit between query token
+i=(ri, ci) and key token j=(rj, cj) is q_i . rel_w[cj - ci + W - 1] — it
+depends on j only through cj. So the full (HW, HW) relative matrix is a
+column-broadcast of a small (HW, W) matrix (and (HW, H) for height), which the
+Pallas kernel exploits.  The einsum path below materializes the broadcast, as
+XLA fuses it into the softmax anyway.
+
+Shapes (per call): q, k of (B, nh, HW, dkh); v of (B, nh, HW, dvh);
+rel_w of (dkh, 2W-1); rel_h of (dkh, 2H-1). q is pre-scaled by dkh**-0.5.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def rel_to_abs(x: jnp.ndarray) -> jnp.ndarray:
+    """Convert relative-indexed logits (..., L, 2L-1) to absolute (..., L, L).
+
+    Pad-flatten-reshape skew trick (behavioral parity with reference
+    attn_aug_conv.py:43-53): rel index d in [0, 2L-2] encodes offset
+    j - i + (L-1); output[..., i, j] = input[..., i, j - i + L - 1].
+    """
+    *lead, L, two_l_minus_1 = x.shape
+    assert two_l_minus_1 == 2 * L - 1, x.shape
+    x = jnp.pad(x, [(0, 0)] * len(lead) + [(0, 0), (0, 1)])  # (..., L, 2L)
+    x = x.reshape(*lead, L * 2 * L)
+    x = jnp.pad(x, [(0, 0)] * len(lead) + [(0, L - 1)])  # (..., 2L^2 + L - 1)
+    x = x.reshape(*lead, L + 1, 2 * L - 1)
+    return x[..., :L, L - 1 :]
+
+
+def relative_logits_compact(
+    q2d: jnp.ndarray, rel_w: jnp.ndarray, rel_h: jnp.ndarray
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Compact (un-broadcast) relative logits.
+
+    q2d: (B, nh, H, W, dkh) pre-scaled queries.
+    Returns (rw, rh): rw of (B, nh, H*W, W) with rw[., i, cj] the width-relative
+    logit for any key in image column cj; rh of (B, nh, H*W, H) analogously for
+    key rows. The full (HW, HW) rel matrix = rw broadcast over key-rows +
+    rh broadcast over key-cols.
+    """
+    B, nh, H, W, dkh = q2d.shape
+    # width: einsum to (B, nh, H, W, 2W-1), skew to (B, nh, H, W, W)
+    rw = jnp.einsum("bnhwd,dm->bnhwm", q2d, rel_w)
+    rw = rel_to_abs(rw.reshape(B, nh * H, W, 2 * W - 1)).reshape(B, nh, H, W, W)
+    rw = rw.reshape(B, nh, H * W, W)  # query (ri,ci) flattened; last dim = cj
+    # height: transpose H<->W, same skew, index by key row rj
+    qt = q2d.transpose(0, 1, 3, 2, 4)  # (B, nh, W, H, dkh)
+    rh = jnp.einsum("bnwhd,dm->bnwhm", qt, rel_h)
+    rh = rel_to_abs(rh.reshape(B, nh * W, H, 2 * H - 1)).reshape(B, nh, W, H, H)
+    # rh[b,n,ci,ri,rj] -> index queries as (ri, ci) row-major
+    rh = rh.transpose(0, 1, 3, 2, 4).reshape(B, nh, H * W, H)  # last dim = rj
+    return rw, rh
+
+
+def relative_logits(
+    q2d: jnp.ndarray, rel_w: jnp.ndarray, rel_h: jnp.ndarray
+) -> jnp.ndarray:
+    """Full (B, nh, HW, HW) relative-position logits (einsum path)."""
+    B, nh, H, W, _ = q2d.shape
+    rw, rh = relative_logits_compact(q2d, rel_w, rel_h)
+    # broadcast rw over key rows, rh over key cols, then flatten keys row-major
+    full = rw[:, :, :, None, :] + rh[:, :, :, :, None]  # (B, nh, HW, rj, cj)
+    return full.reshape(B, nh, H * W, H * W)
+
+
+def aa_attention_einsum(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    rel_w: Optional[jnp.ndarray],
+    rel_h: Optional[jnp.ndarray],
+    H: int,
+    W: int,
+    return_weights: bool = False,
+) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
+    """Reference-math attention. q pre-scaled. Returns (out, weights|None).
+
+    out: (B, nh, HW, dvh). weights: (B, nh, HW, HW) softmax (float32).
+    """
+    B, nh, hw, dkh = q.shape
+    assert hw == H * W, (hw, H, W)
+    logits = jnp.einsum(
+        "bnid,bnjd->bnij", q, k, preferred_element_type=jnp.float32
+    )
+    if rel_w is not None:
+        q2d = q.reshape(B, nh, H, W, dkh)
+        logits = logits + relative_logits(
+            q2d.astype(jnp.float32), rel_w.astype(jnp.float32), rel_h.astype(jnp.float32)
+        )
+    weights = jax.nn.softmax(logits, axis=-1)
+    out = jnp.einsum(
+        "bnij,bnjd->bnid", weights.astype(v.dtype), v, preferred_element_type=jnp.float32
+    ).astype(v.dtype)
+    return out, (weights if return_weights else None)

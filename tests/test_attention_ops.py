@@ -1,0 +1,116 @@
+"""Numerical parity of the attention ops vs the reference math
+(independent brute-force ground truth; reference behavior cited from
+/root/reference/models/attn_aug_conv.py:43-97)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from chexpert_tpu.ops.attention import (
+    aa_attention_einsum,
+    rel_to_abs,
+    relative_logits,
+    relative_logits_compact,
+)
+from chexpert_tpu.ops.pallas_attention import aa_attention_pallas
+
+
+def brute_force_rel(q, rel_w, rel_h):
+    """rel[i,j] = q_i . rel_w[cj-ci+W-1] + q_i . rel_h[rj-ri+H-1]."""
+    B, nh, H, W, dkh = q.shape
+    out = np.zeros((B, nh, H * W, H * W), np.float32)
+    for b in range(B):
+        for n in range(nh):
+            for ri in range(H):
+                for ci in range(W):
+                    for rj in range(H):
+                        for cj in range(W):
+                            i, j = ri * W + ci, rj * W + cj
+                            out[b, n, i, j] = q[b, n, ri, ci] @ rel_w[:, cj - ci + W - 1] + q[
+                                b, n, ri, ci
+                            ] @ rel_h[:, rj - ri + H - 1]
+    return out
+
+
+def brute_force_attention(q, k, v, rel_w, rel_h, H, W):
+    B, nh, hw, dkh = q.shape
+    logits = np.einsum("bnid,bnjd->bnij", q, k)
+    if rel_w is not None:
+        logits = logits + brute_force_rel(q.reshape(B, nh, H, W, dkh), rel_w, rel_h)
+    logits = logits - logits.max(-1, keepdims=True)
+    w = np.exp(logits)
+    w /= w.sum(-1, keepdims=True)
+    return np.einsum("bnij,bnjd->bnid", w, v), w
+
+
+def test_rel_to_abs():
+    rng = np.random.RandomState(1)
+    L = 6
+    x = rng.randn(2, 3, L, 2 * L - 1).astype(np.float32)
+    out = np.asarray(rel_to_abs(jnp.array(x)))
+    for i in range(L):
+        for j in range(L):
+            np.testing.assert_allclose(out[..., i, j], x[..., i, j - i + L - 1])
+
+
+def test_relative_logits_full():
+    rng = np.random.RandomState(0)
+    B, nh, H, W, dkh = 2, 2, 3, 4, 5
+    q = rng.randn(B, nh, H, W, dkh).astype(np.float32)
+    rel_w = rng.randn(dkh, 2 * W - 1).astype(np.float32)
+    rel_h = rng.randn(dkh, 2 * H - 1).astype(np.float32)
+    ours = np.asarray(relative_logits(jnp.array(q), jnp.array(rel_w), jnp.array(rel_h)))
+    gt = brute_force_rel(q, rel_w, rel_h)
+    np.testing.assert_allclose(ours, gt, atol=1e-5)
+
+
+def test_relative_logits_compact_consistency():
+    rng = np.random.RandomState(2)
+    B, nh, H, W, dkh = 1, 2, 4, 3, 6
+    q = rng.randn(B, nh, H, W, dkh).astype(np.float32)
+    rel_w = rng.randn(dkh, 2 * W - 1).astype(np.float32)
+    rel_h = rng.randn(dkh, 2 * H - 1).astype(np.float32)
+    rw, rh = relative_logits_compact(jnp.array(q), jnp.array(rel_w), jnp.array(rel_h))
+    full = np.asarray(relative_logits(jnp.array(q), jnp.array(rel_w), jnp.array(rel_h)))
+    rw, rh = np.asarray(rw), np.asarray(rh)
+    # full[i, rj*W+cj] == rw[i, cj] + rh[i, rj]
+    recon = rw[:, :, :, None, :] + rh[:, :, :, :, None]
+    np.testing.assert_allclose(full, recon.reshape(B, nh, H * W, H * W), atol=1e-6)
+
+
+@pytest.mark.parametrize("relative", [True, False])
+def test_attention_einsum_parity(relative):
+    rng = np.random.RandomState(3)
+    B, nh, H, W, dkh, dvh = 2, 4, 5, 7, 8, 6
+    q = rng.randn(B, nh, H * W, dkh).astype(np.float32)
+    k = rng.randn(B, nh, H * W, dkh).astype(np.float32)
+    v = rng.randn(B, nh, H * W, dvh).astype(np.float32)
+    rel_w = rng.randn(dkh, 2 * W - 1).astype(np.float32) if relative else None
+    rel_h = rng.randn(dkh, 2 * H - 1).astype(np.float32) if relative else None
+
+    gt_out, gt_w = brute_force_attention(q, k, v, rel_w, rel_h, H, W)
+    out, w = aa_attention_einsum(
+        jnp.array(q), jnp.array(k), jnp.array(v),
+        None if rel_w is None else jnp.array(rel_w),
+        None if rel_h is None else jnp.array(rel_h),
+        H, W, return_weights=True,
+    )
+    np.testing.assert_allclose(np.asarray(out), gt_out, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(w), gt_w, atol=2e-5)
+
+
+def test_attention_pallas_matches_einsum():
+    rng = np.random.RandomState(4)
+    B, nh, H, W, dkh, dvh = 1, 2, 6, 5, 8, 4
+    q = rng.randn(B, nh, H * W, dkh).astype(np.float32)
+    k = rng.randn(B, nh, H * W, dkh).astype(np.float32)
+    v = rng.randn(B, nh, H * W, dvh).astype(np.float32)
+    rel_w = rng.randn(dkh, 2 * W - 1).astype(np.float32)
+    rel_h = rng.randn(dkh, 2 * H - 1).astype(np.float32)
+    ref, _ = aa_attention_einsum(
+        jnp.array(q), jnp.array(k), jnp.array(v), jnp.array(rel_w), jnp.array(rel_h), H, W
+    )
+    out = aa_attention_pallas(
+        jnp.array(q), jnp.array(k), jnp.array(v), jnp.array(rel_w), jnp.array(rel_h), H, W
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-4)
