@@ -137,6 +137,16 @@ def convert_torch_state_dict(
                 raise KeyError(f"no match for torch running_var {tkey} -> {target}")
             flat_stats[target] = val.astype(flat_stats[target].dtype)
             n_loaded += 1
+        elif leaf in ("key_rel_h", "key_rel_w"):
+            # AAConv2d relative-position embeddings (attn_aug_conv.py:40-41);
+            # same (dkh, 2L-1) layout in both frameworks
+            target = path + (leaf,)
+            if target not in flat_params:
+                raise KeyError(f"no match for torch rel embedding {tkey} -> {target}")
+            assert flat_params[target].shape == val.shape
+            flat_params[target] = val.astype(flat_params[target].dtype)
+            used.add(target)
+            n_loaded += 1
         else:
             raise KeyError(f"unhandled torch key {tkey}")
 

@@ -1,0 +1,108 @@
+"""Numerical forward parity: our Flax models vs the ACTUAL reference torch
+code (/root/reference/models/attn_aug_conv.py), weights transferred with the
+production torch->flax converter. This simultaneously validates model
+architecture, layout conversion (NCHW->NHWC, OIHW->HWIO), and the converter
+used for --pretrained.
+
+The reference is imported read-only as a golden oracle (bytecode writing
+disabled; torchvision satisfied by the minimal shim in _torchvision_shim).
+"""
+
+import os
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import torch
+
+HERE = os.path.dirname(__file__)
+REFERENCE = "/root/reference"
+
+sys.dont_write_bytecode = True
+for p in (os.path.join(HERE, "_torchvision_shim"), REFERENCE):
+    if p not in sys.path:
+        sys.path.insert(0, p)
+
+ref_models = pytest.importorskip("models.attn_aug_conv")
+
+from chexpert_tpu.models import AttnParams, DenseNet, ResNet, WideResNet  # noqa: E402
+from chexpert_tpu.models.pretrained import convert_torch_state_dict  # noqa: E402
+from chexpert_tpu.train import init_model  # noqa: E402
+
+
+def test_densenet_forward_parity():
+    """Standard DenseNet (reference attn_aug_conv.py DenseNet, attn=None ==
+    torchvision structure)."""
+    tm = ref_models.DenseNet(8, (2, 2, 2), 16, num_classes=5)
+    fm = DenseNet(8, (2, 2, 2), 16, num_classes=5, dtype=jnp.float32)
+    # classifier head is skipped by the converter (fresh init in both refs);
+    # copy it manually so logits compare exactly
+    transfer_and_compare_with_head(tm, fm, 32, "densenet", 2e-4)
+
+
+def test_aadensenet_forward_parity():
+    """Attention-augmented DenseNet: AAConv2d transitions with rel-pos."""
+    ap = {"k": 0.25, "v": 0.25, "nh": 2, "relative": True, "input_dims": (32, 32)}
+    tm = ref_models.DenseNet(8, (2, 2, 2), 16, num_classes=5, attn_params=dict(ap))
+    fm = DenseNet(8, (2, 2, 2), 16, num_classes=5, dtype=jnp.float32,
+                  attn=AttnParams(0.25, 0.25, 2, True, (32, 32)), attn_impl="einsum")
+    transfer_and_compare_with_head(tm, fm, 32, "densenet", 5e-4)
+
+
+def test_resnet_forward_parity():
+    tm = ref_models.ResNet(ref_models.Bottleneck, [1, 1, 1, 1], num_classes=5)
+    fm = ResNet("bottleneck", (1, 1, 1, 1), num_classes=5, dtype=jnp.float32)
+    transfer_and_compare_with_head(tm, fm, 64, "resnet", 2e-4)
+
+
+def test_aaresnet_forward_parity():
+    ap = {"k": 0.25, "v": 0.25, "nh": 2, "relative": True, "input_dims": (64, 64)}
+    tm = ref_models.ResNet(ref_models.Bottleneck, [1, 1, 1, 1], num_classes=5,
+                           attn_params=dict(ap))
+    fm = ResNet("bottleneck", (1, 1, 1, 1), num_classes=5, dtype=jnp.float32,
+                attn=AttnParams(0.25, 0.25, 2, True, (64, 64)), attn_impl="einsum")
+    transfer_and_compare_with_head(tm, fm, 64, "resnet", 5e-4)
+
+
+def test_wideresnet_forward_parity():
+    tm = ref_models.WideResNet(ref_models.BasicBlock, 10, 2, num_classes=5)
+    fm = WideResNet(10, 2, num_classes=5, dtype=jnp.float32)
+    transfer_and_compare_with_head(tm, fm, 32, "resnet", 2e-4)
+
+
+def test_aawideresnet_forward_parity():
+    """AA BasicBlock path (conv1 swapped for AAConv2d, attn_aug_conv.py:131)."""
+    ap = {"k": 0.25, "v": 0.25, "nh": 2, "relative": True, "input_dims": (32, 32)}
+    tm = ref_models.WideResNet(ref_models.BasicBlock, 10, 2, num_classes=5,
+                               attn_params=dict(ap))
+    fm = WideResNet(10, 2, num_classes=5, dtype=jnp.float32,
+                    attn=AttnParams(0.25, 0.25, 2, True, (32, 32)),
+                    attn_impl="einsum")
+    transfer_and_compare_with_head(tm, fm, 32, "resnet", 5e-4)
+
+
+def transfer_and_compare_with_head(torch_model, flax_model, hw, arch, atol):
+    torch_model.eval()
+    rng = np.random.RandomState(0)
+    x = rng.randn(2, 3, hw, hw).astype(np.float32)
+    with torch.no_grad():
+        ref_out = torch_model(torch.tensor(x)).numpy()
+
+    params, stats = init_model(flax_model, jax.random.PRNGKey(0), (1, hw, hw, 3))
+    sd = {k: v.numpy() for k, v in torch_model.state_dict().items()}
+    params, stats = convert_torch_state_dict(sd, params, stats, arch)
+
+    # copy the classifier head too (converter skips it by design — the
+    # reference replaces it for CheXpert; for parity we want exact logits)
+    head = "classifier" if arch.startswith("densenet") else "fc"
+    params[head]["kernel"] = sd[f"{head}.weight"].T.astype(np.float32)
+    params[head]["bias"] = sd[f"{head}.bias"].astype(np.float32)
+
+    out = flax_model.apply(
+        {"params": params, "batch_stats": stats},
+        jnp.asarray(x.transpose(0, 2, 3, 1)),
+        train=False,
+    )
+    np.testing.assert_allclose(np.asarray(out), ref_out, atol=atol)
