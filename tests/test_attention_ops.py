@@ -114,3 +114,40 @@ def test_attention_pallas_matches_einsum():
         jnp.array(q), jnp.array(k), jnp.array(v), jnp.array(rel_w), jnp.array(rel_h), H, W
     )
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-4)
+
+
+def test_attention_pallas_gradients_match_einsum():
+    """Flash backward (fused dq/dk/dv/dRW/dRH) vs einsum autodiff."""
+    import jax
+
+    rng = np.random.RandomState(5)
+    B, nh, H, W, dkh, dvh = 2, 2, 6, 5, 8, 4
+    q = jnp.asarray(rng.randn(B, nh, H * W, dkh), jnp.float32)
+    k = jnp.asarray(rng.randn(B, nh, H * W, dkh), jnp.float32)
+    v = jnp.asarray(rng.randn(B, nh, H * W, dvh), jnp.float32)
+    rel_w = jnp.asarray(rng.randn(dkh, 2 * W - 1), jnp.float32)
+    rel_h = jnp.asarray(rng.randn(dkh, 2 * H - 1), jnp.float32)
+    tgt = jnp.asarray(rng.randn(B, nh, H * W, dvh), jnp.float32)
+
+    def loss(fn):
+        def f(q, k, v, rw, rh):
+            out = fn(q, k, v, rw, rh)
+            return ((out - tgt) ** 2).sum()
+        return jax.grad(f, argnums=(0, 1, 2, 3, 4))
+
+    ge = loss(lambda *a: aa_attention_einsum(*a, H, W)[0])(q, k, v, rel_w, rel_h)
+    gp = loss(lambda *a: aa_attention_pallas(*a, H, W))(q, k, v, rel_w, rel_h)
+    for name, a, b in zip(["dq", "dk", "dv", "drel_w", "drel_h"], ge, gp):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-4,
+                                   err_msg=name)
+
+
+def test_attention_pallas_no_relative():
+    rng = np.random.RandomState(6)
+    B, nh, H, W, dkh, dvh = 1, 2, 4, 6, 8, 4
+    q = jnp.asarray(rng.randn(B, nh, H * W, dkh), jnp.float32)
+    k = jnp.asarray(rng.randn(B, nh, H * W, dkh), jnp.float32)
+    v = jnp.asarray(rng.randn(B, nh, H * W, dvh), jnp.float32)
+    ref, _ = aa_attention_einsum(q, k, v, None, None, H, W)
+    out = aa_attention_pallas(q, k, v, None, None, H, W)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-4)
