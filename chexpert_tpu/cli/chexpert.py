@@ -78,6 +78,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--prefetch", type=int, default=2)
     p.add_argument("--image_size", type=int, default=320)
     p.add_argument("--data_aug", action="store_true")
+    p.add_argument("--packed_cache", action="store_true",
+                   help="Decode-once uint8 cache for the input pipeline.")
     return p
 
 
@@ -163,17 +165,36 @@ class Runner:
             uncertain_policy=self.cfg.uncertain_policy,
         )
 
-    def batches(self, index: ChexpertIndex, train: bool, epoch: int = 0) -> Batches:
+    def batches(self, index: ChexpertIndex, train: bool, epoch: int = 0):
         cfg = self.cfg
         # drop_last in train: a zero-padded partial batch would pollute the
         # BatchNorm batch statistics (eval keeps padding+mask — running stats
         # make padded rows inert there)
+        drop_last = train and len(index) >= cfg.batch_size
+        if cfg.packed_cache and index.mode != "test":
+            import os as _os
+
+            from chexpert_tpu.data.chexpert import DIR_NAME
+            from chexpert_tpu.data.packed import PackedBatches, build_packed_cache
+
+            cache_dir = _os.path.join(cfg.data_path, DIR_NAME, "packed")
+            path = build_packed_cache(
+                index, cache_dir, image_size=cfg.resize or cfg.image_size,
+                resize=cfg.resize, workers=cfg.data_workers,
+                pack_margin=32 if (train and cfg.data_aug) else 0,
+            )
+            return PackedBatches(
+                index, path, cfg.batch_size,
+                image_size=cfg.resize or cfg.image_size,
+                shuffle=train, augment=train and cfg.data_aug,
+                drop_last=drop_last, seed=cfg.seed, epoch=epoch,
+            )
         return Batches(
             index, cfg.batch_size, shuffle=train,
             augment=train and cfg.data_aug,
             image_size=cfg.image_size, resize=cfg.resize,
             workers=cfg.data_workers, seed=cfg.seed, epoch=epoch,
-            drop_last=train and len(index) >= cfg.batch_size,
+            drop_last=drop_last,
         )
 
     def n_params(self) -> int:
@@ -268,6 +289,11 @@ def run_visualize(cfg: Config, runner: Runner, writer: MetricsWriter) -> None:
     imgs, labels, probs, masks, idx_list = [], [], [], [], []
     attn_per_layer = None
     for batch in vis_batches:
+        if batch["image"].dtype == np.uint8:  # packed pipeline ships raw u8
+            from chexpert_tpu.data.chexpert import PIXEL_MEAN, PIXEL_STD
+
+            f = (batch["image"].astype(np.float32) / 255.0 - PIXEL_MEAN) / PIXEL_STD
+            batch = dict(batch, image=np.broadcast_to(f, f.shape[:-1] + (3,)).copy())
         x = jnp.asarray(batch["image"])
         cam, logits = grad_cam(runner.model, variables, x)
         m = batch["mask"].astype(bool)

@@ -70,6 +70,10 @@ class Config:
     # random-augmentation pipeline (flip + random crop), cf 'data_aug' runs
     data_aug: bool = False
 
+    # decode-once packed uint8 cache for the training input pipeline (the
+    # JPEG-per-epoch path cannot feed a TPU chip from few host cores)
+    packed_cache: bool = False
+
     # number of best checkpoints tracked (reference save_checkpoint max_records=10)
     max_best_checkpoints: int = 10
 

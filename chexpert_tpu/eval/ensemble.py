@@ -60,7 +60,9 @@ def make_ensemble_eval_step(model, mesh):
     vmapped = jax.vmap(member_forward, in_axes=(0, 0, None))
 
     def step(stacked_params, stacked_stats, batch):
-        outs = vmapped(stacked_params, stacked_stats, batch["image"])  # (K, B, C)
+        from chexpert_tpu.train.steps import prepare_image
+
+        outs = vmapped(stacked_params, stacked_stats, prepare_image(batch["image"]))  # (K, B, C)
         losses = bce_with_logits(outs, batch["label"][None])  # (K, B, C)
         return outs, losses
 

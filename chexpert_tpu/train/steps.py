@@ -17,19 +17,33 @@ import jax.numpy as jnp
 import optax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
+from chexpert_tpu.data.chexpert import PIXEL_MEAN, PIXEL_STD
 from chexpert_tpu.parallel.mesh import DATA_AXIS
 from chexpert_tpu.train.loss import bce_with_logits, train_loss
 from chexpert_tpu.train.state import TrainState
 
 
+def prepare_image(x: jnp.ndarray) -> jnp.ndarray:
+    """On-device input prep. uint8 single-channel batches arrive raw (packed
+    pipeline: 12x less H2D than f32 3-channel); normalize + expand here so
+    XLA fuses it into the first conv. float32 batches arrive pre-normalized
+    (JPEG pipeline) and pass through."""
+    if x.dtype == jnp.uint8:
+        x = (x.astype(jnp.float32) / 255.0 - PIXEL_MEAN) / PIXEL_STD
+    if x.shape[-1] == 1:
+        x = jnp.broadcast_to(x, x.shape[:-1] + (3,))
+    return x
+
+
 def make_train_step(model, tx: optax.GradientTransformation, seed: int = 0):
     def train_step(state: TrainState, batch: Dict[str, jnp.ndarray]):
         dropout_rng = jax.random.fold_in(jax.random.PRNGKey(seed), state.step)
+        image = prepare_image(batch["image"])
 
         def loss_fn(params):
             out, mutated = model.apply(
                 {"params": params, "batch_stats": state.batch_stats},
-                batch["image"],
+                image,
                 train=True,
                 mutable=["batch_stats"],
                 rngs={"dropout": dropout_rng},
@@ -57,7 +71,7 @@ def make_eval_step(model):
     def eval_step(state: TrainState, batch: Dict[str, jnp.ndarray]):
         out = model.apply(
             {"params": state.params, "batch_stats": state.batch_stats},
-            batch["image"],
+            prepare_image(batch["image"]),
             train=False,
         )
         per_elem = bce_with_logits(out, batch["label"])  # (B, C), reduction='none'

@@ -1,0 +1,76 @@
+"""Packed uint8 cache pipeline: build, equivalence with the JPEG pipeline,
+augment jitter, on-device normalization."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from chexpert_tpu.data import ChexpertIndex, PIXEL_MEAN, PIXEL_STD, make_synthetic_dataset
+from chexpert_tpu.data.packed import PackedBatches, build_packed_cache
+from chexpert_tpu.data.pipeline import Batches
+from chexpert_tpu.train.steps import prepare_image
+
+
+@pytest.fixture(scope="module")
+def packed(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("packed_data"))
+    make_synthetic_dataset(root, n_train=20, n_valid=10, image_size=48)
+    index = ChexpertIndex(root, "valid", download=False)
+    cache_dir = os.path.join(root, "cache")
+    path = build_packed_cache(index, cache_dir, image_size=48, workers=2)
+    return index, path
+
+
+def test_cache_build_and_reuse(packed):
+    index, path = packed
+    assert os.path.exists(path)
+    mm = np.load(path, mmap_mode="r")
+    assert mm.shape == (10, 48, 48) and mm.dtype == np.uint8
+    # rebuilding reuses the existing cache (same path, no error)
+    again = build_packed_cache(index, os.path.dirname(path), image_size=48)
+    assert again == path
+
+
+def test_packed_matches_jpeg_pipeline(packed):
+    index, path = packed
+    jpeg = next(iter(Batches(index, 10, image_size=48, workers=2)))
+    pk = next(iter(PackedBatches(index, path, 10, image_size=48)))
+    assert pk["image"].dtype == np.uint8 and pk["image"].shape == (10, 48, 48, 1)
+    # after on-device prep, packed == jpeg pipeline (same decode + normalize)
+    prepped = np.asarray(prepare_image(jnp.asarray(pk["image"])))
+    np.testing.assert_allclose(prepped, jpeg["image"], atol=1e-5)
+    np.testing.assert_array_equal(pk["label"], jpeg["label"])
+    np.testing.assert_array_equal(pk["index"], jpeg["index"])
+
+
+def test_packed_padding_and_masks(packed):
+    index, path = packed
+    got = list(PackedBatches(index, path, 4, image_size=48))
+    assert len(got) == 3
+    assert got[-1]["mask"].tolist() == [1, 1, 0, 0]
+
+
+def test_packed_augment_jitter(tmp_path):
+    root = str(tmp_path)
+    make_synthetic_dataset(root, n_train=8, n_valid=4, image_size=64)
+    index = ChexpertIndex(root, "train", download=False)
+    path = build_packed_cache(index, os.path.join(root, "c"), image_size=48,
+                              pack_margin=16, workers=2)
+    mm = np.load(path, mmap_mode="r")
+    assert mm.shape[1] == 64  # stored with margin
+    a = next(iter(PackedBatches(index, path, 8, image_size=48, augment=True, seed=1, epoch=0)))
+    b = next(iter(PackedBatches(index, path, 8, image_size=48, augment=True, seed=1, epoch=1)))
+    assert a["image"].shape == (8, 48, 48, 1)
+    assert not np.array_equal(a["image"], b["image"])  # different crops per epoch
+
+
+def test_prepare_image_dtypes():
+    u8 = jnp.asarray(np.full((2, 4, 4, 1), 255, np.uint8))
+    out = np.asarray(prepare_image(u8))
+    assert out.shape == (2, 4, 4, 3)
+    np.testing.assert_allclose(out, (1.0 - PIXEL_MEAN) / PIXEL_STD, atol=1e-6)
+    f32 = jnp.ones((2, 4, 4, 3), jnp.float32)
+    np.testing.assert_array_equal(np.asarray(prepare_image(f32)), np.ones((2, 4, 4, 3)))
