@@ -69,7 +69,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--log_interval", type=int, default=50)
     p.add_argument("--eval_interval", type=int, default=300)
     # TPU-native knobs
-    p.add_argument("--uncertain_policy", default="ones", choices=["ones", "zeros"])
+    p.add_argument("--uncertain_policy", default="ones",
+                   choices=["ones", "zeros", "ignore"])
+    p.add_argument("--profile", action="store_true",
+                   help="Capture a jax.profiler trace of the first train steps.")
     p.add_argument("--compute_dtype", default="bfloat16", choices=["bfloat16", "float32"])
     p.add_argument("--data_parallel", type=int, default=0)
     p.add_argument("--model_parallel", type=int, default=1)

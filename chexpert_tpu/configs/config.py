@@ -73,6 +73,8 @@ class Config:
     # decode-once packed uint8 cache for the training input pipeline (the
     # JPEG-per-epoch path cannot feed a TPU chip from few host cores)
     packed_cache: bool = False
+    # capture a jax.profiler trace of the first training steps
+    profile: bool = False
 
     # number of best checkpoints tracked (reference save_checkpoint max_records=10)
     max_best_checkpoints: int = 10

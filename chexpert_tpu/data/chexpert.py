@@ -92,6 +92,9 @@ def _preprocess_train_df(
         train_df[ATTR_NAMES] = train_df[ATTR_NAMES].replace(-1, 1)
     elif uncertain_policy == "zeros":
         train_df[ATTR_NAMES] = train_df[ATTR_NAMES].replace(-1, 0)
+    elif uncertain_policy == "ignore":
+        pass  # keep -1; the pipeline emits a per-element label mask and the
+        # loss excludes uncertain labels (U-Ignore; reference TODO :119)
     else:
         raise ValueError(f"unknown uncertain_policy: {uncertain_policy}")
     if data_filter is not None:

@@ -149,4 +149,7 @@ class PackedBatches:
             idx[: len(chunk)] = indices[chunk]
             mask = np.zeros((bs,), np.float32)
             mask[: len(chunk)] = 1.0
-            yield {"image": image, "label": label, "index": idx, "mask": mask}
+            label_mask = (label != -1.0).astype(np.float32)  # U-Ignore support
+            label = np.clip(label, 0.0, 1.0)
+            yield {"image": image, "label": label, "label_mask": label_mask,
+                   "index": idx, "mask": mask}

@@ -100,9 +100,13 @@ class Batches:
                 idx[:batch_n] = [self.index.index(p) for p in chunk]
                 mask = np.zeros((bs,), np.float32)
                 mask[:batch_n] = 1.0
+                # U-Ignore: -1 labels excluded from the loss per element
+                label_mask = (label != -1.0).astype(np.float32)
+                label = np.clip(label, 0.0, 1.0)
                 yield {
                     "image": expand_channels(image),
                     "label": label,
+                    "label_mask": label_mask,
                     "index": idx,
                     "mask": mask,
                 }

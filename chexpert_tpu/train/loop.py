@@ -88,9 +88,19 @@ def train_epoch(
     log_fn=print,
 ) -> TrainState:
     """(reference train_epoch, chexpert.py:152-196)"""
-    t0, imgs, last_log_step = time.time(), 0, None
+    t0, imgs, local = time.time(), 0, 0
+    # profiling hooks (SURVEY.md §5): trace 10 steady-state steps of epoch 0
+    prof_start, prof_stop = (3, 13) if (cfg.profile and epoch == 0) else (-1, -1)
     for batch in device_prefetch(train_batches, batch_sharding(mesh), depth=cfg.prefetch):
+        if local == prof_start:
+            trace_dir = os.path.join(cfg.output_dir, "profile")
+            log_fn(f"Capturing profiler trace to {trace_dir}")
+            jax.profiler.start_trace(trace_dir)
         state, loss = train_step(state, batch)
+        local += 1
+        if local == prof_stop:
+            jax.block_until_ready(loss)
+            jax.profiler.stop_trace()
         step = int(state.step)
         imgs += int(batch["mask"].sum())
 
@@ -112,6 +122,8 @@ def train_epoch(
             metrics = evaluate_single_model(eval_step, state, valid_batches, mesh)
             _log_eval(writer, metrics, step)
             _checkpoint(cfg, state, metrics, step)
+    if prof_start >= 0 and prof_start < local < prof_stop:
+        jax.profiler.stop_trace()  # epoch shorter than the trace window
     return state
 
 

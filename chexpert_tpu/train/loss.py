@@ -21,8 +21,19 @@ def bce_with_logits(logits: jnp.ndarray, targets: jnp.ndarray) -> jnp.ndarray:
     return jnp.maximum(x, 0.0) - x * y + jnp.log1p(jnp.exp(-jnp.abs(x)))
 
 
-def train_loss(logits: jnp.ndarray, targets: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
-    """sum over classes, mask-weighted mean over batch (chexpert.py:160)."""
-    per_example = bce_with_logits(logits, targets).sum(axis=1)
+def train_loss(
+    logits: jnp.ndarray,
+    targets: jnp.ndarray,
+    mask: jnp.ndarray,
+    label_mask: jnp.ndarray | None = None,
+) -> jnp.ndarray:
+    """sum over classes, mask-weighted mean over batch (chexpert.py:160).
+
+    label_mask (B, C) zeroes individual uncertain labels (U-Ignore policy).
+    """
+    per_elem = bce_with_logits(logits, targets)
+    if label_mask is not None:
+        per_elem = per_elem * label_mask
+    per_example = per_elem.sum(axis=1)
     denom = jnp.maximum(mask.sum(), 1.0)
     return (per_example * mask).sum() / denom

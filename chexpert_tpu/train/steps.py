@@ -48,7 +48,8 @@ def make_train_step(model, tx: optax.GradientTransformation, seed: int = 0):
                 mutable=["batch_stats"],
                 rngs={"dropout": dropout_rng},
             )
-            loss = train_loss(out, batch["label"], batch["mask"])
+            loss = train_loss(out, batch["label"], batch["mask"],
+                              batch.get("label_mask"))
             return loss, mutated["batch_stats"]
 
         (loss, new_batch_stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(
