@@ -29,7 +29,7 @@ REF_BASELINE_IMG_S = 100.0
 
 def main() -> int:
     p = argparse.ArgumentParser()
-    p.add_argument("--batch", type=int, default=32)
+    p.add_argument("--batch", type=int, default=16)
     p.add_argument("--steps", type=int, default=30)
     p.add_argument("--warmup", type=int, default=5)
     p.add_argument("--image-size", type=int, default=320)
@@ -37,6 +37,9 @@ def main() -> int:
     args = p.parse_args()
 
     from chexpert_tpu.models import build_model
+    from chexpert_tpu.utils.io import enable_compilation_cache
+    enable_compilation_cache()
+
     from chexpert_tpu.parallel.mesh import batch_sharding, create_mesh, replicated
     from chexpert_tpu.train import TrainState, init_model, jit_steps, make_optimizer
 

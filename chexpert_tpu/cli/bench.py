@@ -286,6 +286,9 @@ def evaluate(eval_step, state, x, y, batch_size, mesh) -> Tuple[float, float, fl
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
+    from chexpert_tpu.utils.io import enable_compilation_cache
+    enable_compilation_cache()
+
     if not args.output_dir:
         args.output_dir = os.path.join(
             "results", args.model, time.strftime("%Y-%m-%d_%H-%M-%S", time.gmtime())

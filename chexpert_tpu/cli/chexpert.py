@@ -206,6 +206,9 @@ class Runner:
 
 def main(argv=None) -> int:
     cfg = config_from_args(argv)
+    from chexpert_tpu.utils.io import enable_compilation_cache
+    enable_compilation_cache()
+
     cfg = resolve_output_dir(cfg)
     setup_output_dir(cfg)
     writer = MetricsWriter(cfg.output_dir)

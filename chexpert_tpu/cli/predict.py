@@ -75,6 +75,9 @@ def predict(model, variables, batches: Batches, index: ChexpertIndex, mesh) -> p
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
+    from chexpert_tpu.utils.io import enable_compilation_cache
+    enable_compilation_cache()
+
 
     ensemble = os.path.isdir(args.restore_path)
     # pretrained normalization flag from run config (predict.py:65-67);

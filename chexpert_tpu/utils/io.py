@@ -17,3 +17,21 @@ def save_json(data: Any, filename: str, output_dir: str) -> str:
 def load_json(file_path: str) -> Any:
     with open(file_path) as f:
         return json.load(f)
+
+
+def enable_compilation_cache(path: str = "") -> None:
+    """Persistent XLA compilation cache — compiles on this class of host cost
+    minutes; cache them across processes/runs."""
+    import os
+
+    import jax
+
+    cache = path or os.environ.get(
+        "CHEXPERT_TPU_COMPILE_CACHE", os.path.expanduser("~/.cache/chexpert_tpu_xla")
+    )
+    os.makedirs(cache, exist_ok=True)
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    except Exception:
+        pass  # older jax without the flags
