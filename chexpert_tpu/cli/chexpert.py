@@ -73,6 +73,8 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=["ones", "zeros", "ignore"])
     p.add_argument("--profile", action="store_true",
                    help="Capture a jax.profiler trace of the first train steps.")
+    p.add_argument("--auto_resume", action="store_true",
+                   help="Resume from output_dir/checkpoint_latest.msgpack if present.")
     p.add_argument("--compute_dtype", default="bfloat16", choices=["bfloat16", "float32"])
     p.add_argument("--data_parallel", type=int, default=0)
     p.add_argument("--model_parallel", type=int, default=1)
@@ -140,6 +142,13 @@ class Runner:
 
     def _maybe_restore(self):
         cfg = self.cfg
+        # preemption recovery: --auto_resume picks up the latest checkpoint
+        # in output_dir without an explicit --restore (the contract is
+        # resume-from-latest with step + optimizer state)
+        if cfg.auto_resume and not cfg.restore:
+            latest = os.path.join(cfg.output_dir, "checkpoint_latest.msgpack")
+            if os.path.exists(latest):
+                cfg = self.cfg = cfg.replace(restore=latest)
         if cfg.restore and os.path.isfile(cfg.restore):
             print(f"Restoring model weights from {cfg.restore}")
             ck = load_model_checkpoint(cfg.restore, self.state.params, self.state.batch_stats)

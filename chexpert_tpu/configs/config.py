@@ -75,6 +75,9 @@ class Config:
     packed_cache: bool = False
     # capture a jax.profiler trace of the first training steps
     profile: bool = False
+    # resume from output_dir/checkpoint_latest.msgpack automatically when
+    # present (preemptible-TPU recovery; no explicit --restore needed)
+    auto_resume: bool = False
 
     # number of best checkpoints tracked (reference save_checkpoint max_records=10)
     max_best_checkpoints: int = 10

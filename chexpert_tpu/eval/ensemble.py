@@ -49,8 +49,16 @@ def stack_checkpoints(paths: List[str], params_template, batch_stats_template):
     return params, stats
 
 
-def make_ensemble_eval_step(model, mesh):
-    """jit(vmap) forward over the checkpoint axis; batch shared."""
+def make_ensemble_eval_step(model, mesh, n_members: int):
+    """jit(vmap) forward over the checkpoint axis; batch data-sharded.
+
+    Members are kept REPLICATED rather than sharded over the mesh model
+    axis: sharding the vmapped checkpoint axis of conv kernels produced
+    numerically wrong results under GSPMD (verified vs individual applies on
+    the 8-device CPU backend — the batched conv's stacking dim partitioning
+    miscompiles). Data-axis parallelism still applies; revisit if the
+    partitioner is fixed upstream."""
+    del n_members
 
     def member_forward(params, batch_stats, image):
         return model.apply(
@@ -67,11 +75,11 @@ def make_ensemble_eval_step(model, mesh):
         return outs, losses
 
     repl = NamedSharding(mesh, P())
-    data = NamedSharding(mesh, P(None, DATA_AXIS))
+    out_sh = NamedSharding(mesh, P(None, DATA_AXIS))
     return jax.jit(
         step,
         in_shardings=(repl, repl, batch_sharding(mesh)),
-        out_shardings=(data, data),
+        out_shardings=(out_sh, out_sh),
     )
 
 
@@ -83,7 +91,7 @@ def evaluate_ensemble(
     stacked_params, stacked_stats = stack_checkpoints(
         paths, params_template, batch_stats_template
     )
-    step = make_ensemble_eval_step(model, mesh)
+    step = make_ensemble_eval_step(model, mesh, len(paths))
     outs, targets, losses = [], [], []
     for batch in device_prefetch(batches, batch_sharding(mesh)):
         o, l = step(stacked_params, stacked_stats, batch)

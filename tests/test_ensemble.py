@@ -1,0 +1,115 @@
+"""Ensemble evaluation: vmapped stacked checkpoints, score-mean semantics,
+2-D (model x data) mesh sharding of the member axis, auto-resume."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from chexpert_tpu.checkpoint import save_model_checkpoint
+from chexpert_tpu.eval.ensemble import (
+    list_checkpoints,
+    make_ensemble_eval_step,
+    stack_checkpoints,
+)
+from chexpert_tpu.models import DenseNet, OptimizerSpec
+from chexpert_tpu.parallel.mesh import batch_sharding, create_mesh
+from chexpert_tpu.train import init_model
+
+
+@pytest.fixture(scope="module")
+def checkpoints(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("ckpts"))
+    model = DenseNet(8, (2, 2), 16, num_classes=5, dtype=jnp.float32)
+    paths = []
+    for k in range(2):
+        params, stats = init_model(model, jax.random.PRNGKey(k), (1, 16, 16, 3))
+        p = os.path.join(d, f"checkpoint_{k}.msgpack")
+        save_model_checkpoint(p, params, stats, k, 1.0, 0.5 + 0.1 * k)
+        paths.append(p)
+    return model, paths
+
+
+def _batch(bs=8):
+    rng = np.random.RandomState(0)
+    return {
+        "image": jnp.asarray(rng.randn(bs, 16, 16, 3), jnp.float32),
+        "label": jnp.asarray((rng.rand(bs, 5) > 0.5), jnp.float32),
+        "index": jnp.zeros((bs,), jnp.int64),
+        "mask": jnp.ones((bs,), jnp.float32),
+    }
+
+
+def test_list_checkpoints(checkpoints, tmp_path):
+    model, paths = checkpoints
+    found = list_checkpoints(os.path.dirname(paths[0]))
+    assert found == sorted(paths)
+
+
+def test_ensemble_mean_matches_members(checkpoints):
+    """Ensemble outputs == mean of per-member outputs (chexpert.py:233-234)."""
+    model, paths = checkpoints
+    params, stats = init_model(model, jax.random.PRNGKey(9), (1, 16, 16, 3))
+    sp, ss = stack_checkpoints(paths, params, stats)
+    mesh = create_mesh(1, 1, devices=jax.devices()[:1])
+    step = make_ensemble_eval_step(model, mesh, len(paths))
+    batch = jax.device_put(_batch(), batch_sharding(mesh))
+    outs, losses = step(sp, ss, batch)
+    assert outs.shape[0] == 2
+    # compare against individual forward passes
+    from chexpert_tpu.checkpoint import load_model_checkpoint
+
+    for k, p in enumerate(paths):
+        ck = load_model_checkpoint(p, params, stats)
+        single = model.apply(
+            {"params": ck["params"], "batch_stats": ck["batch_stats"]},
+            batch["image"], train=False,
+        )
+        np.testing.assert_allclose(np.asarray(outs)[k], np.asarray(single), atol=2e-5)
+
+
+def test_ensemble_2d_mesh_sharding(checkpoints):
+    """(data=4, model=2) mesh: replicated members, data-sharded batch;
+    results identical to the single-device ensemble. (Sharding the member
+    axis over 'model' miscompiles under GSPMD — see make_ensemble_eval_step.)"""
+    assert jax.device_count() >= 8
+    model, paths = checkpoints
+    params, stats = init_model(model, jax.random.PRNGKey(9), (1, 16, 16, 3))
+    sp, ss = stack_checkpoints(paths, params, stats)
+    batch = _batch()
+
+    ref_mesh = create_mesh(1, 1, devices=jax.devices()[:1])
+    ref_step = make_ensemble_eval_step(model, ref_mesh, len(paths))
+    ref_out, _ = ref_step(sp, ss, jax.device_put(batch, batch_sharding(ref_mesh)))
+
+    mesh = create_mesh(4, 2, devices=jax.devices()[:8])
+    step = make_ensemble_eval_step(model, mesh, len(paths))
+    out, _ = step(sp, ss, jax.device_put(batch, batch_sharding(mesh)))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref_out), atol=2e-4)
+
+
+def test_auto_resume(tmp_path):
+    """--auto_resume picks up checkpoint_latest.msgpack from output_dir."""
+    from chexpert_tpu.data import make_synthetic_dataset
+
+    root = str(tmp_path)
+    make_synthetic_dataset(root, n_train=16, n_valid=8, image_size=32)
+    from chexpert_tpu.cli.chexpert import main
+
+    base = [
+        "--data_path", root, "--output_dir", os.path.join(root, "run"),
+        "--model", "densenet-tiny", "--image_size", "32", "--batch_size", "8",
+        "--compute_dtype", "float32", "--data_parallel", "2",
+        "--data_workers", "2", "--lr", "1e-2", "--log_interval", "1",
+        "--eval_interval", "2", "--n_epochs", "1",
+    ]
+    assert main(base + ["--train"]) == 0
+    # second run resumes: the step counter continues past the first epoch
+    assert main(base + ["--train", "--auto_resume"]) == 0
+    import json
+
+    steps = [json.loads(l)["step"] for l in open(os.path.join(root, "run", "scalars.jsonl"))
+             if json.loads(l).get("tag") == "train_loss"]
+    assert max(steps) == 4  # 2 epochs x 2 steps, continued counter
