@@ -57,10 +57,33 @@ def _pad_axis(x: jnp.ndarray, axis: int, to: int) -> jnp.ndarray:
     return jnp.pad(x, widths)
 
 
+def _round8(x: int) -> int:
+    return ((x + 7) // 8) * 8
+
+
 def _pick_tiles(hw: int) -> Tuple[int, int]:
-    t = min(128, max(8, hw))
-    t = ((t + 7) // 8) * 8  # f32 sublane multiple
-    return t, t
+    """(tq, tk) with tk a multiple of tq so one padded length serves both
+    grids. Bigger tiles amortize per-tile overhead (measured 2x on v5e going
+    128->256/512); candidates trade tile size against padding waste."""
+    if hw <= 256:
+        t = _round8(max(8, hw))
+        return t, t
+    best, best_cost = None, None
+    for tq in range(64, 257, 8):
+        for m in range(1, 513 // tq + 1):
+            tk = tq * m
+            hwp = _cdiv(hw, tk) * tk
+            # cost model: logits work scales ~ hwp^2; small tiles pay
+            # per-tile overhead (~15% per halving below 256/512)
+            overhead = (256 / tq) * (512 / tk)
+            cost = (hwp * hwp) * (1.0 + 0.15 * (overhead - 1.0))
+            if best_cost is None or cost < best_cost:
+                best, best_cost = (tq, tk), cost
+    return best
+
+
+def _pad_len(hw: int, tq: int, tk: int) -> int:
+    return _cdiv(hw, tk) * tk if tk % tq == 0 else _cdiv(hw, tq * tk) * tq * tk
 
 
 def _interpret() -> bool:
@@ -206,7 +229,7 @@ def _flash_forward(q, k, v, rw, rh, H: int, W: int):
     dvh = v.shape[-1]
     daug = dkh + W + H
     tq, tk = _pick_tiles(hw)
-    hwp = _cdiv(hw, tq) * tq
+    hwp = _pad_len(hw, tq, tk)
     bn = B * nh
 
     qa, ka = _pack(q, k, rw, rh, H, W)
@@ -253,7 +276,7 @@ def _flash_bwd_rule(H: int, W: int, res, dout):
     dvh = vf.shape[-1]
     daug = dkh + W + H
     tq, tk = _pick_tiles(hw)
-    hwp = _cdiv(hw, tq) * tq
+    hwp = _pad_len(hw, tq, tk)
     bn = B * nh
 
     delta = jnp.sum(dout.astype(jnp.float32) * out.astype(jnp.float32), axis=-1)
