@@ -63,8 +63,11 @@ def build_packed_cache(
     )
 
     def decode(pos: int) -> None:
-        img = load_grayscale(index.path(pos))
-        img = resize_min_edge(img, resize if resize else stored)
+        # match the JPEG pipeline semantics exactly: optional min-edge
+        # resize, then center crop (reference chexpert.py:68-69)
+        img = load_grayscale(index.path(pos), min_edge_hint=resize or 0)
+        if resize:
+            img = resize_min_edge(img, resize)
         arr = np.asarray(img, dtype=np.uint8)[..., None]
         mm[pos] = center_crop(arr, stored)[..., 0]
 

@@ -11,6 +11,7 @@ channel-expand so decode/crop bandwidth is 1/3 of the naive path.
 
 from __future__ import annotations
 
+import os
 from typing import Optional, Tuple
 
 import numpy as np
@@ -19,7 +20,26 @@ from PIL import Image
 from chexpert_tpu.data.chexpert import PIXEL_MEAN, PIXEL_STD
 
 
-def load_grayscale(path: str) -> Image.Image:
+def load_grayscale(path: str, min_edge_hint: int = 0) -> Image.Image:
+    """Decode to 8-bit grayscale.
+
+    Uses the native libjpeg path (chexpert_tpu.native) when built — identical
+    bytes to PIL for unscaled decode (both are libjpeg), and with
+    min_edge_hint > 0 it may decode at 1/2-1/8 scale in the DCT domain
+    (never below the hint) which skips most IDCT work on large sources.
+    Set CHEXPERT_TPU_NO_NATIVE=1 to force the PIL path.
+    """
+    if path.lower().endswith((".jpg", ".jpeg")) and not os.environ.get(
+        "CHEXPERT_TPU_NO_NATIVE"
+    ):
+        try:
+            from chexpert_tpu import native
+
+            arr = native.decode_gray(path, min_edge_hint)
+            if arr is not None:
+                return Image.fromarray(arr, mode="L")
+        except ValueError:
+            pass  # corrupt-for-libjpeg-mem-src edge case: fall back to PIL
     img = Image.open(path)
     if img.mode != "L":
         img = img.convert("L")
@@ -69,12 +89,12 @@ def decode_transform(
     Matches the reference order exactly: resize -> crop -> /255 -> whiten.
     With augment=True the crop is random and a horizontal flip is applied.
     """
-    img = load_grayscale(path)
+    crop = resize if resize else image_size
+    # DCT-scaled decode only valid when a resize follows (crop-only mode
+    # must see the original resolution — reference chexpert.py:68-69)
+    img = load_grayscale(path, min_edge_hint=resize or 0)
     if resize:
         img = resize_min_edge(img, resize)
-        crop = resize
-    else:
-        crop = image_size
     arr = np.asarray(img, dtype=np.float32)[..., None]
     if augment:
         assert rng is not None
