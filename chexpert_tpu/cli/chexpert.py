@@ -59,6 +59,9 @@ def build_parser() -> argparse.ArgumentParser:
     # data
     p.add_argument("--mini_data", type=int, default=None)
     p.add_argument("--resize", type=int, default=None)
+    p.add_argument("--data_filter", type=str, default="",
+                   help='JSON row filter, e.g. \'{"Frontal/Lateral": "Frontal"}\''
+                        " (reference dataset.py:144-151).")
     # training
     p.add_argument("--pretrained", action="store_true")
     p.add_argument("--batch_size", type=int, default=16)
@@ -171,8 +174,11 @@ class Runner:
 
     # --- data ---
     def index(self, mode: str) -> ChexpertIndex:
+        import json as _json
+
         return ChexpertIndex(
             self.cfg.data_path, mode,
+            data_filter=_json.loads(self.cfg.data_filter) if self.cfg.data_filter else None,
             mini_data=self.cfg.mini_data,
             uncertain_policy=self.cfg.uncertain_policy,
         )

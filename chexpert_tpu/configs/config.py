@@ -37,6 +37,9 @@ class Config:
     # --- data params (reference chexpert.py:46-47) ---
     mini_data: Optional[int] = None
     resize: Optional[int] = None
+    # JSON row filter dict (reference dataset.py data_filter, e.g.
+    # '{"Frontal/Lateral": "Frontal"}')
+    data_filter: str = ""
 
     # --- training params (reference chexpert.py:49-57) ---
     pretrained: bool = False

@@ -147,6 +147,13 @@ class ChexpertIndex:
     def _load_processed(self, data_filter, uncertain_policy, mode) -> pd.DataFrame:
         csv_dir = os.path.join(self.root, DIR_NAME)
         suffix = "" if uncertain_policy == "ones" else f".{uncertain_policy}"
+        if data_filter:
+            # cache keyed by filter so a filtered run never reuses an
+            # unfiltered frame (the reference's .pt cache has this hazard)
+            import hashlib
+
+            h = hashlib.sha1(json.dumps(data_filter, sort_keys=True).encode()).hexdigest()[:8]
+            suffix += f".f{h}"
         train_cache = os.path.join(csv_dir, f"train.processed{suffix}.csv")
         valid_cache = os.path.join(csv_dir, "valid.processed.csv")
         if not (os.path.exists(train_cache) and os.path.exists(valid_cache)):

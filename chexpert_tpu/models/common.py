@@ -66,6 +66,7 @@ def batch_norm(
     eps: float = 1e-5,
     torch_momentum: float = 0.1,
     name: Optional[str] = None,
+    scale_init: Callable = nn.initializers.ones,
 ) -> nn.BatchNorm:
     """BatchNorm matching torch defaults.
 
@@ -82,6 +83,7 @@ def batch_norm(
         epsilon=eps,
         dtype=dtype,
         param_dtype=jnp.float32,
+        scale_init=scale_init,
         name=name,
     )
 

@@ -55,6 +55,7 @@ class BasicBlock(nn.Module):
     attn: Optional[AttnParams] = None
     dtype: Dtype = jnp.bfloat16
     attn_impl: str = "pallas"
+    zero_init_residual: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool, capture_weights: bool = False):
@@ -74,7 +75,11 @@ class BasicBlock(nn.Module):
         out = batch_norm(train, dtype=self.dtype, name="bn1")(out)
         out = nn.relu(out)
         out = conv(self.planes, 3, dtype=self.dtype, name="conv2")(out)
-        out = batch_norm(train, dtype=self.dtype, name="bn2")(out)
+        # zero-init the residual branch's last BN when requested
+        # (reference attn_aug_conv.py:258-263, arxiv 1706.02677)
+        bn2_init = (nn.initializers.zeros if self.zero_init_residual
+                    else nn.initializers.ones)
+        out = batch_norm(train, dtype=self.dtype, name="bn2", scale_init=bn2_init)(out)
         if self.has_downsample:
             identity = conv(
                 self.planes * self.expansion, 1, self.strides,
@@ -94,6 +99,7 @@ class Bottleneck(nn.Module):
     attn: Optional[AttnParams] = None
     dtype: Dtype = jnp.bfloat16
     attn_impl: str = "pallas"
+    zero_init_residual: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool, capture_weights: bool = False):
@@ -117,7 +123,9 @@ class Bottleneck(nn.Module):
         out = batch_norm(train, dtype=self.dtype, name="bn2")(out)
         out = nn.relu(out)
         out = conv(self.planes * self.expansion, 1, dtype=self.dtype, name="conv3")(out)
-        out = batch_norm(train, dtype=self.dtype, name="bn3")(out)
+        bn3_init = (nn.initializers.zeros if self.zero_init_residual
+                    else nn.initializers.ones)
+        out = batch_norm(train, dtype=self.dtype, name="bn3", scale_init=bn3_init)(out)
         if self.has_downsample:
             identity = conv(
                 self.planes * self.expansion, 1, self.strides,
@@ -138,6 +146,7 @@ class _Stage(nn.Module):
     attn: Optional[AttnParams]
     dtype: Dtype
     attn_impl: str
+    zero_init_residual: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool, capture_weights: bool = False):
@@ -151,6 +160,7 @@ class _Stage(nn.Module):
                 attn=self.attn,
                 dtype=self.dtype,
                 attn_impl=self.attn_impl,
+                zero_init_residual=self.zero_init_residual,
                 name=str(i),
             )(x, train, capture_weights=capture_weights)
         return x
@@ -165,6 +175,7 @@ class ResNet(nn.Module):
     attn: Optional[AttnParams] = None
     dtype: Dtype = jnp.bfloat16
     attn_impl: str = "pallas"
+    zero_init_residual: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False, probe=None, capture_weights: bool = False):
@@ -185,7 +196,8 @@ class ResNet(nn.Module):
         ):
             x = _Stage(
                 block_cls, planes, n, s, in_planes, attn_per_layer[li],
-                self.dtype, self.attn_impl, name=f"layer{li + 1}",
+                self.dtype, self.attn_impl, self.zero_init_residual,
+                name=f"layer{li + 1}",
             )(x, train, capture_weights=capture_weights)
             in_planes = planes * expansion
 
@@ -211,6 +223,7 @@ class WideResNet(nn.Module):
     attn: Optional[AttnParams] = None
     dtype: Dtype = jnp.bfloat16
     attn_impl: str = "pallas"
+    zero_init_residual: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False, probe=None, capture_weights: bool = False):
@@ -238,7 +251,8 @@ class WideResNet(nn.Module):
         ):
             x = _Stage(
                 BasicBlock, planes, n, s, in_planes, attn_per_layer[li],
-                self.dtype, self.attn_impl, name=f"layer{li + 1}",
+                self.dtype, self.attn_impl, self.zero_init_residual,
+                name=f"layer{li + 1}",
             )(x, train, capture_weights=capture_weights)
             in_planes = planes
 

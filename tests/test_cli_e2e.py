@@ -92,3 +92,35 @@ def test_predict_cli(workdir):
     assert len(preds) == 8  # one study per valid patient in the fixture
     vals = preds.iloc[:, 1:].values
     assert (vals >= 0).all() and (vals <= 1).all()
+
+
+def test_load_config_overlay(workdir, tmp_path):
+    """--load_config JSON overlay of args (reference chexpert.py:437)."""
+    import json
+
+    from chexpert_tpu.cli.chexpert import config_from_args
+
+    cfg_path = str(tmp_path / "cfg.json")
+    json.dump({"model": "densenet-tiny", "batch_size": 4, "lr": 0.123},
+              open(cfg_path, "w"))
+    cfg = config_from_args(["--load_config", cfg_path, "--data_path", workdir])
+    assert cfg.model == "densenet-tiny" and cfg.batch_size == 4 and cfg.lr == 0.123
+    # flags not in the overlay keep their CLI/default values
+    assert cfg.data_path == workdir
+
+
+def test_data_filter_flag(workdir):
+    """--data_filter JSON row filter reaches the index (dataset.py:144-151)."""
+    from chexpert_tpu.cli.chexpert import Runner, config_from_args
+
+    cfg = config_from_args([
+        "--data_path", workdir, "--output_dir", os.path.join(workdir, "runf"),
+        "--model", "densenet-tiny", "--image_size", "32", "--batch_size", "8",
+        "--compute_dtype", "float32", "--data_parallel", "2",
+        "--data_filter", '{"Frontal/Lateral": "Frontal"}',
+    ])
+    runner = Runner(cfg)
+    idx = runner.index("train")
+    assert len(idx) == 16  # fixture is all Frontal -> nothing filtered out
+    assert os.path.exists(os.path.join(
+        workdir, "CheXpert-v1.0-small", "processed_training_data_filters.json"))
