@@ -1,4 +1,4 @@
-from chexpert_tpu.utils.io import load_json, save_json
+from chexpert_tpu.utils.io import enable_compilation_cache, load_json, save_json
 from chexpert_tpu.utils.logging import MetricsWriter
 
-__all__ = ["load_json", "save_json", "MetricsWriter"]
+__all__ = ["enable_compilation_cache", "load_json", "save_json", "MetricsWriter"]
