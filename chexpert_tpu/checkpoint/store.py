@@ -52,6 +52,12 @@ def save_model_checkpoint(
 
 
 def load_model_checkpoint(path: str, params_template=None, batch_stats_template=None) -> Dict:
+    if path.endswith(".pt"):
+        # interop: reference-produced torch checkpoints (chexpert.py:187-193
+        # format: {'global_step','eval_loss','avg_auc','state_dict'}) load
+        # directly via the torchvision weight converter — a reference user's
+        # trained models migrate without retraining
+        return _load_torch_checkpoint(path, params_template, batch_stats_template)
     with open(path, "rb") as f:
         payload = fser.msgpack_restore(f.read())
     out = {
@@ -66,6 +72,31 @@ def load_model_checkpoint(path: str, params_template=None, batch_stats_template=
     if batch_stats_template is not None:
         out["batch_stats"] = fser.from_state_dict(batch_stats_template, payload["batch_stats"])
     return out
+
+
+def _load_torch_checkpoint(path: str, params_template, batch_stats_template) -> Dict:
+    import torch
+
+    raw = torch.load(path, map_location="cpu", weights_only=True)
+    sd = raw.get("state_dict", raw)
+    sd = {k: v.numpy() for k, v in sd.items()}
+    assert params_template is not None and batch_stats_template is not None, (
+        ".pt interop needs params/batch_stats templates to map into"
+    )
+    # infer arch family for key normalization
+    arch = "densenet" if any("denseblock" in k for k in sd) else "resnet"
+    from chexpert_tpu.models.pretrained import convert_torch_state_dict
+
+    params, stats = convert_torch_state_dict(
+        sd, params_template, batch_stats_template, arch, include_head=True
+    )
+    return {
+        "global_step": int(raw.get("global_step", 0)),
+        "eval_loss": float(raw.get("eval_loss", float("nan"))),
+        "avg_auc": float(raw.get("avg_auc", float("nan"))),
+        "params": params,
+        "batch_stats": stats,
+    }
 
 
 def save_optim_checkpoint(path: str, opt_state: Any) -> None:

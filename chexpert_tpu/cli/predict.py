@@ -80,12 +80,9 @@ def main(argv=None) -> int:
 
 
     ensemble = os.path.isdir(args.restore_path)
-    # pretrained normalization flag from run config (predict.py:65-67);
-    # our pipeline always whitens with the dataset stats, so this is
-    # informational parity only
-    cfg_path = os.path.join(os.path.dirname(os.path.normpath(args.restore_path)), "config.json")
-    if not os.path.exists(cfg_path):
-        cfg_path = os.path.join(args.restore_path, "config.json")
+    # (the reference re-reads the run's `pretrained` flag here to decide
+    # normalization, predict.py:65-67 — our pipeline always whitens with the
+    # dataset statistics, so no flag is needed)
 
     import jax.numpy as jnp
 

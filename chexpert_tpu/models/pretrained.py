@@ -54,12 +54,18 @@ def _normalize_densenet_keys(sd: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]
 
 
 def convert_torch_state_dict(
-    sd: Dict[str, np.ndarray], params: Any, batch_stats: Any, arch: str
+    sd: Dict[str, np.ndarray], params: Any, batch_stats: Any, arch: str,
+    include_head: bool = False,
 ) -> Tuple[Any, Any]:
     """Map a torchvision state dict onto our (params, batch_stats) trees.
 
+    include_head=False (ImageNet import): the classifier/fc head is skipped —
+    the reference replaces it with a fresh n-class layer (chexpert.py:463-466).
+    include_head=True (reference-checkpoint interop): the head transfers too
+    (reference checkpoints already carry the 5-class head).
+
     Raises KeyError listing any of our parameters left unmatched (heads
-    excepted) so silent partial loads cannot happen.
+    excepted when skipped) so silent partial loads cannot happen.
     """
     import flax.traverse_util as tu
 
@@ -88,8 +94,9 @@ def convert_torch_state_dict(
     for tkey, val in sd.items():
         if tkey.endswith("num_batches_tracked"):
             continue
-        if any(tkey.startswith(h) or f".{h}" in tkey for h in
-               ("classifier.", "fc.")):
+        if not include_head and any(
+            tkey.startswith(h) or f".{h}" in tkey for h in ("classifier.", "fc.")
+        ):
             continue
         path, leaf = to_ours(tkey)
         if leaf == "weight":
@@ -150,10 +157,10 @@ def convert_torch_state_dict(
         else:
             raise KeyError(f"unhandled torch key {tkey}")
 
-    # every non-head param of ours must have been covered
+    # every param of ours must have been covered (heads excepted when skipped)
     missing = [
         p for p in flat_params
-        if p not in used and p[0] not in ("classifier", "fc")
+        if p not in used and (include_head or p[0] not in ("classifier", "fc"))
     ]
     if missing:
         raise KeyError(f"{len(missing)} of our params unmatched, e.g. {missing[:5]}")

@@ -102,7 +102,9 @@ def train_epoch(
             jax.block_until_ready(loss)
             jax.profiler.stop_trace()
         step = int(state.step)
-        imgs += int(batch["mask"].sum())
+        # train drops partial batches, so every batch is full (and summing the
+        # device-resident mask would force a per-step transfer)
+        imgs += int(batch["mask"].shape[0])
 
         if step % cfg.log_interval == 0:
             loss_val = float(loss)
