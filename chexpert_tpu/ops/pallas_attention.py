@@ -345,4 +345,24 @@ def aa_attention_pallas(
     else:
         rw = jnp.zeros((B, nh, hw, W), jnp.float32)
         rh = jnp.zeros((B, nh, hw, H), jnp.float32)
+
+    # pallas_call is opaque to GSPMD (operands would be all-gathered under a
+    # sharded jit); on a multi-chip mesh, shard-map the kernel over the data
+    # axis — attention is batch-parallel, so each chip runs its shard locally
+    from chexpert_tpu.parallel.context import active_mesh
+
+    mesh = active_mesh()
+    if mesh is not None and mesh.shape.get("data", 1) > 1 and B % mesh.shape["data"] == 0:
+        from jax.experimental.shard_map import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        batched = P("data")
+        fn = shard_map(
+            lambda q_, k_, v_, rw_, rh_: _flash_attention(q_, k_, v_, rw_, rh_, H, W),
+            mesh=mesh,
+            in_specs=(batched, batched, batched, batched, batched),
+            out_specs=batched,
+            check_rep=False,
+        )
+        return fn(q, k, v, rw, rh)
     return _flash_attention(q, k, v, rw, rh, H, W)

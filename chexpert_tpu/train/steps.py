@@ -85,18 +85,33 @@ def jit_steps(model, tx, mesh: Mesh, seed: int = 0):
     """Compile train/eval steps against a mesh.
 
     State replicated; batch sharded on the data axis; state donated in train.
+    The step bodies trace under mesh_context so mesh-aware kernels (the
+    Pallas attention) can shard-map themselves over the data axis.
     """
+    from chexpert_tpu.parallel.context import mesh_context
+
     repl = NamedSharding(mesh, P())
     data = NamedSharding(mesh, P(DATA_AXIS))
 
+    base_train = make_train_step(model, tx, seed)
+    base_eval = make_eval_step(model)
+
+    def train_with_mesh(state, batch):
+        with mesh_context(mesh):
+            return base_train(state, batch)
+
+    def eval_with_mesh(state, batch):
+        with mesh_context(mesh):
+            return base_eval(state, batch)
+
     train_step = jax.jit(
-        make_train_step(model, tx, seed),
+        train_with_mesh,
         in_shardings=(repl, data),
         out_shardings=(repl, repl),
         donate_argnums=(0,),
     )
     eval_step = jax.jit(
-        make_eval_step(model),
+        eval_with_mesh,
         in_shardings=(repl, data),
         out_shardings=(data, data),
     )

@@ -207,3 +207,31 @@ def test_tracker_eviction_semantics(tmp_path):
     # sorted descending by AvgAUC
     assert list(data[:, 3]) == sorted(data[:, 3], reverse=True)
     np.testing.assert_allclose(sorted(data[:, 3]), [0.6, 0.65, 0.7])
+
+
+def test_multi_device_pallas_attention_matches_single():
+    """The Pallas attention shard-maps itself over the data axis inside a
+    sharded jit (pallas_call is GSPMD-opaque otherwise); loss trajectories
+    must match the single-device run."""
+    assert jax.device_count() >= 8
+    model = DenseNet(8, (2, 2), 16, num_classes=5, dtype=jnp.float32,
+                     attn=AttnParams(0.25, 0.25, 2, True, (16, 16)),
+                     attn_impl="pallas")
+    tx, _ = make_optimizer(OptimizerSpec("adam"), 1e-3)
+    params, stats = init_model(model, jax.random.PRNGKey(0), (1, 16, 16, 3))
+    rng = np.random.RandomState(4)
+    batch = make_batch(rng, bs=8)
+
+    losses = {}
+    for n in (1, 8):
+        mesh = create_mesh(n, 1, devices=jax.devices()[:n])
+        train_step, _ = jit_steps(model, tx, mesh)
+        host = jax.tree_util.tree_map(np.array, (params, stats))
+        state = jax.device_put(TrainState.create(host[0], host[1], tx), replicated(mesh))
+        b = jax.device_put(batch, batch_sharding(mesh))
+        ls = []
+        for _ in range(2):
+            state, loss = train_step(state, b)
+            ls.append(float(loss))
+        losses[n] = ls
+    np.testing.assert_allclose(losses[1], losses[8], rtol=5e-4)
