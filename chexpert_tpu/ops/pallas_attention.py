@@ -69,13 +69,14 @@ def _pick_tiles(hw: int) -> Tuple[int, int]:
         t = _round8(max(8, hw))
         return t, t
     best, best_cost = None, None
-    for tq in range(64, 257, 8):
-        for m in range(1, 513 // tq + 1):
+    for tq in range(64, 401, 8):
+        for m in range(1, 801 // tq + 1):
             tk = tq * m
             hwp = _cdiv(hw, tk) * tk
             # cost model: logits work scales ~ hwp^2; small tiles pay
-            # per-tile overhead (~15% per halving below 256/512)
-            overhead = (256 / tq) * (512 / tk)
+            # per-tile overhead (measured sweep on v5e favored (400, 800)
+            # at HW=1600; ~15% penalty per halving below that)
+            overhead = (400 / tq) * (800 / tk)
             cost = (hwp * hwp) * (1.0 + 0.15 * (overhead - 1.0))
             if best_cost is None or cost < best_cost:
                 best, best_cost = (tq, tk), cost
