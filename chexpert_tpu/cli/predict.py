@@ -129,7 +129,21 @@ def main(argv=None) -> int:
         )
         targets.index.name = "Study"
         targets = targets.groupby("Study").max()
+
+        # align study keys: test csvs may carry absolute paths while the
+        # valid index is dataset-relative — join on patient/study suffix
+        def _norm(ix):
+            return ix.map(lambda s: "/".join(str(s).split("/")[-2:]))
+
+        targets.index = _norm(targets.index)
+        df = df.copy()
+        df.index = _norm(df.index)
         joined = targets.join(df, how="inner", lsuffix="_t")
+        if joined.empty:
+            raise RuntimeError(
+                "--debug: no overlapping studies between predictions and the "
+                "valid set — check data_path / CHEXPERT_TPU_DATA_DIR"
+            )
         from chexpert_tpu.eval.metrics import compute_metrics
 
         metrics = compute_metrics(

@@ -21,6 +21,8 @@ import numpy as np
 
 def _binary_clf_curve(y_true: np.ndarray, y_score: np.ndarray):
     """Cumulative TPs/FPs at decreasing score thresholds (sklearn internals)."""
+    if y_true.size == 0:
+        raise ValueError("empty y_true passed to a classification curve")
     desc = np.argsort(y_score, kind="mergesort")[::-1]
     y_score = y_score[desc]
     y_true = y_true[desc]

@@ -124,3 +124,26 @@ def test_data_filter_flag(workdir):
     assert len(idx) == 16  # fixture is all Frontal -> nothing filtered out
     assert os.path.exists(os.path.join(
         workdir, "CheXpert-v1.0-small", "processed_training_data_filters.json"))
+
+
+def test_predict_debug_scores_against_valid(workdir, capsys, monkeypatch):
+    """predict --debug re-scores predictions vs valid targets
+    (reference predict.py:100-116)."""
+    from chexpert_tpu.cli.predict import main as predict_main
+
+    out = os.path.join(workdir, "run")
+    test_csv = os.path.join(workdir, "test_input.csv")  # built by predict test
+    if not os.path.exists(test_csv):
+        df = pd.read_csv(os.path.join(workdir, DIR_NAME, "valid.csv"))
+        df["Path"] = [os.path.join(workdir, p) for p in df["Path"]]
+        df.to_csv(test_csv, index=False)
+    monkeypatch.setenv("CHEXPERT_TPU_DATA_DIR", workdir)
+    assert predict_main([
+        test_csv, os.path.join(workdir, "preds_dbg.csv"),
+        "--restore_path", os.path.join(out, "checkpoint_latest.msgpack"),
+        "--model", "densenet-tiny", "--image_size", "32",
+        "--batch_size", "8", "--compute_dtype", "float32",
+        "--data_parallel", "2", "--data_workers", "2", "--debug",
+    ]) == 0
+    outp = capsys.readouterr().out
+    assert "Metrics for predictions vs targets" in outp and "AUC" in outp
