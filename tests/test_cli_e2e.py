@@ -147,3 +147,31 @@ def test_predict_debug_scores_against_valid(workdir, capsys, monkeypatch):
     ]) == 0
     outp = capsys.readouterr().out
     assert "Metrics for predictions vs targets" in outp and "AUC" in outp
+
+
+def test_training_determinism(workdir):
+    """Two identical seeded runs produce identical loss trajectories
+    (seeding: init, shuffle, dropout all derive from --seed)."""
+    import json
+
+    def run(tag, seed):
+        out = os.path.join(workdir, f"det_{tag}")
+        from chexpert_tpu.cli.chexpert import main
+
+        assert main([
+            "--data_path", workdir, "--output_dir", out,
+            "--model", "densenet-tiny", "--image_size", "32",
+            "--batch_size", "8", "--compute_dtype", "float32",
+            "--data_parallel", "2", "--data_workers", "2",
+            "--train", "--n_epochs", "1", "--lr", "1e-2",
+            "--log_interval", "1", "--eval_interval", "100",
+            "--seed", str(seed),
+        ]) == 0
+        return [json.loads(l)["value"] for l in open(os.path.join(out, "scalars.jsonl"))
+                if json.loads(l).get("tag") == "train_loss"]
+
+    a = run("a", 7)
+    b = run("b", 7)
+    c = run("c", 8)
+    assert a == b, (a, b)
+    assert a != c
