@@ -139,8 +139,11 @@ class Runner:
         from chexpert_tpu.parallel.mesh import replicated
 
         self.state = jax.device_put(self.state, replicated(self.mesh))
+        # packed + data_aug: random crop/flip runs fused on device from the
+        # margin-stored tiles (train/steps.py::device_augment)
+        device_crop = hw if (cfg.data_aug and cfg.packed_cache) else None
         self.train_step, self.eval_step = jit_steps(
-            self.model, self.tx, self.mesh, cfg.seed
+            self.model, self.tx, self.mesh, cfg.seed, device_crop=device_crop
         )
 
     def _maybe_restore(self):
@@ -204,7 +207,8 @@ class Runner:
             return PackedBatches(
                 index, path, cfg.batch_size,
                 image_size=cfg.resize or cfg.image_size,
-                shuffle=train, augment=train and cfg.data_aug,
+                shuffle=train, augment=False,
+                emit_stored=train and cfg.data_aug,  # crop/flip on device
                 drop_last=drop_last, seed=cfg.seed, epoch=epoch,
             )
         return Batches(

@@ -97,6 +97,7 @@ class PackedBatches:
         drop_last: bool = False,
         seed: int = 0,
         epoch: int = 0,
+        emit_stored: bool = False,
     ):
         self.index = index
         self.mm = np.load(cache_path, mmap_mode="r")
@@ -107,6 +108,9 @@ class PackedBatches:
         self.drop_last = drop_last
         self.seed = seed
         self.epoch = epoch
+        # emit the full stored tile (with crop margin) — the train step crops
+        # and flips ON DEVICE (train/steps.py::device_augment)
+        self.emit_stored = emit_stored
         assert len(self.mm) == len(index), (len(self.mm), len(index))
 
     def __len__(self) -> int:
@@ -130,7 +134,10 @@ class PackedBatches:
             raw = self.mm[np.sort(chunk)]  # sorted gather = sequential IO
             unsort = np.argsort(np.argsort(chunk))
             raw = raw[unsort]
-            if self.augment and stored > s:
+            s_out = stored if self.emit_stored else s
+            if self.emit_stored:
+                img = raw  # device-side augment crops to image_size
+            elif self.augment and stored > s:
                 tops = rng.randint(0, stored - s + 1, len(chunk))
                 lefts = rng.randint(0, stored - s + 1, len(chunk))
                 flips = rng.rand(len(chunk)) < 0.5
@@ -144,7 +151,7 @@ class PackedBatches:
 
             # ship raw uint8 single-channel: 12x less H2D traffic than f32
             # 3-channel; the jitted step normalizes + expands on device
-            image = np.zeros((bs, s, s, 1), np.uint8)
+            image = np.zeros((bs, s_out, s_out, 1), np.uint8)
             image[: len(chunk), :, :, 0] = img
             label = np.zeros((bs, labels.shape[1]), np.float32)
             label[: len(chunk)] = labels[chunk]

@@ -10,7 +10,7 @@ classes, meaned over the (global) batch.
 from __future__ import annotations
 
 import functools
-from typing import Any, Callable, Dict, Tuple
+from typing import Any, Callable, Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -21,6 +21,27 @@ from chexpert_tpu.data.chexpert import PIXEL_MEAN, PIXEL_STD
 from chexpert_tpu.parallel.mesh import DATA_AXIS
 from chexpert_tpu.train.loss import bce_with_logits, train_loss
 from chexpert_tpu.train.state import TrainState
+
+
+def device_augment(img: jnp.ndarray, rng, out_size: int) -> jnp.ndarray:
+    """On-device random crop + horizontal flip, fused into the train step.
+
+    The packed pipeline stores images with a crop margin; shipping the full
+    stored uint8 tile and cropping here keeps augmentation on the TPU (one
+    dynamic_slice + select per image) and out of the host's hot path.
+    """
+    B, S, _, C = img.shape
+    margin = S - out_size
+    r_top, r_left, r_flip = jax.random.split(rng, 3)
+    tops = jax.random.randint(r_top, (B,), 0, margin + 1)
+    lefts = jax.random.randint(r_left, (B,), 0, margin + 1)
+    flips = jax.random.bernoulli(r_flip, 0.5, (B,))
+
+    def one(im, t, l, f):
+        c = jax.lax.dynamic_slice(im, (t, l, 0), (out_size, out_size, C))
+        return jnp.where(f, c[:, ::-1], c)
+
+    return jax.vmap(one)(img, tops, lefts, flips)
 
 
 def prepare_image(x: jnp.ndarray) -> jnp.ndarray:
@@ -35,10 +56,15 @@ def prepare_image(x: jnp.ndarray) -> jnp.ndarray:
     return x
 
 
-def make_train_step(model, tx: optax.GradientTransformation, seed: int = 0):
+def make_train_step(model, tx: optax.GradientTransformation, seed: int = 0,
+                    device_crop: Optional[int] = None):
     def train_step(state: TrainState, batch: Dict[str, jnp.ndarray]):
-        dropout_rng = jax.random.fold_in(jax.random.PRNGKey(seed), state.step)
-        image = prepare_image(batch["image"])
+        base_rng = jax.random.fold_in(jax.random.PRNGKey(seed), state.step)
+        dropout_rng, aug_rng = jax.random.split(base_rng)
+        image = batch["image"]
+        if device_crop is not None and image.shape[1] > device_crop:
+            image = device_augment(image, aug_rng, device_crop)
+        image = prepare_image(image)
 
         def loss_fn(params):
             out, mutated = model.apply(
@@ -81,7 +107,8 @@ def make_eval_step(model):
     return eval_step
 
 
-def jit_steps(model, tx, mesh: Mesh, seed: int = 0):
+def jit_steps(model, tx, mesh: Mesh, seed: int = 0,
+              device_crop: "Optional[int]" = None):
     """Compile train/eval steps against a mesh.
 
     State replicated; batch sharded on the data axis; state donated in train.
@@ -93,7 +120,7 @@ def jit_steps(model, tx, mesh: Mesh, seed: int = 0):
     repl = NamedSharding(mesh, P())
     data = NamedSharding(mesh, P(DATA_AXIS))
 
-    base_train = make_train_step(model, tx, seed)
+    base_train = make_train_step(model, tx, seed, device_crop)
     base_eval = make_eval_step(model)
 
     def train_with_mesh(state, batch):

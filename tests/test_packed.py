@@ -74,3 +74,49 @@ def test_prepare_image_dtypes():
     np.testing.assert_allclose(out, (1.0 - PIXEL_MEAN) / PIXEL_STD, atol=1e-6)
     f32 = jnp.ones((2, 4, 4, 3), jnp.float32)
     np.testing.assert_array_equal(np.asarray(prepare_image(f32)), np.ones((2, 4, 4, 3)))
+
+
+def test_device_augment():
+    """On-device random crop + flip (train/steps.py::device_augment)."""
+    import jax
+    from chexpert_tpu.train.steps import device_augment
+
+    rng = np.random.RandomState(0)
+    img = jnp.asarray(rng.randint(0, 255, (4, 40, 40, 1)), jnp.uint8)
+    out = device_augment(img, jax.random.PRNGKey(0), 32)
+    assert out.shape == (4, 32, 32, 1) and out.dtype == jnp.uint8
+    # every output crop's pixel multiset is a sub-multiset of the source
+    a = np.asarray(out)
+    src = np.asarray(img)
+    for i in range(4):
+        assert set(np.unique(a[i])).issubset(set(np.unique(src[i])))
+    # deterministic per rng key; different keys differ
+    out2 = device_augment(img, jax.random.PRNGKey(0), 32)
+    out3 = device_augment(img, jax.random.PRNGKey(1), 32)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(out2))
+    assert not np.array_equal(np.asarray(out), np.asarray(out3))
+
+
+def test_emit_stored_batches(tmp_path):
+    root = str(tmp_path)
+    make_synthetic_dataset(root, n_train=8, n_valid=4, image_size=64)
+    index = ChexpertIndex(root, "train", download=False)
+    path = build_packed_cache(index, os.path.join(root, "c"), image_size=48,
+                              pack_margin=16, workers=2)
+    b = next(iter(PackedBatches(index, path, 8, image_size=48, emit_stored=True)))
+    assert b["image"].shape == (8, 64, 64, 1)  # full stored tile
+
+
+def test_device_aug_training_e2e(tmp_path):
+    """Train with on-device augmentation through the CLI (packed + data_aug)."""
+    root = str(tmp_path)
+    make_synthetic_dataset(root, n_train=16, n_valid=8, image_size=48)
+    from chexpert_tpu.cli.chexpert import main
+
+    assert main([
+        "--train", "--data_path", root, "--output_dir", os.path.join(root, "run"),
+        "--model", "densenet-tiny", "--image_size", "32", "--batch_size", "8",
+        "--compute_dtype", "float32", "--data_parallel", "2", "--data_workers", "2",
+        "--n_epochs", "1", "--lr", "1e-2", "--log_interval", "1",
+        "--eval_interval", "100", "--packed_cache", "--data_aug",
+    ]) == 0
