@@ -126,3 +126,13 @@ def test_center_crop_pads_small_images():
     out = center_crop(arr, 16)
     assert out.shape == (16, 16, 1)
     assert out.sum() == 100  # original pixels preserved, padding zero
+
+
+def test_resize_path(data_root):
+    """--resize semantics: min edge -> resize, crop at resize
+    (reference chexpert.py:68-69)."""
+    valid = ChexpertIndex(data_root, "valid", download=False)
+    arr = decode_transform(valid.path(0), image_size=48, resize=24)
+    assert arr.shape == (24, 24, 1)
+    b = next(iter(Batches(valid, 4, image_size=48, resize=24, workers=2)))
+    assert b["image"].shape == (4, 24, 24, 3)
