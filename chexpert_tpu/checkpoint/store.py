@@ -15,7 +15,7 @@ checkpoint — the failure-recovery contract is resume-from-latest.
 from __future__ import annotations
 
 import os
-from typing import Any, Dict, Optional
+from typing import Any, Dict
 
 import flax.serialization as fser
 import jax

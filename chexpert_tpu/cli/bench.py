@@ -23,7 +23,7 @@ import argparse
 import os
 import pickle
 import time
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -14,7 +14,6 @@ from __future__ import annotations
 import argparse
 import os
 import pprint
-from typing import Optional
 
 import jax
 import numpy as np

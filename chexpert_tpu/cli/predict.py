@@ -16,7 +16,6 @@ from __future__ import annotations
 
 import argparse
 import os
-from typing import List
 
 import jax
 import numpy as np
@@ -28,7 +27,6 @@ from chexpert_tpu.data.pipeline import device_prefetch
 from chexpert_tpu.eval.ensemble import list_checkpoints
 from chexpert_tpu.models import build_model
 from chexpert_tpu.parallel.mesh import batch_sharding, create_mesh, replicated
-from chexpert_tpu.utils import load_json
 
 
 def build_parser() -> argparse.ArgumentParser:

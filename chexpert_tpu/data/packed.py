@@ -26,7 +26,7 @@ from typing import Dict, Iterator, Optional
 
 import numpy as np
 
-from chexpert_tpu.data.chexpert import PIXEL_MEAN, PIXEL_STD, ChexpertIndex
+from chexpert_tpu.data.chexpert import ChexpertIndex
 from chexpert_tpu.data.transforms import center_crop, load_grayscale, resize_min_edge
 
 

@@ -14,7 +14,6 @@ convergence tests have something to converge on.
 from __future__ import annotations
 
 import os
-from typing import Optional
 
 import numpy as np
 from PIL import Image

@@ -12,7 +12,7 @@ channel-expand so decode/crop bandwidth is 1/3 of the naive path.
 from __future__ import annotations
 
 import os
-from typing import Optional, Tuple
+from typing import Optional
 
 import numpy as np
 from PIL import Image

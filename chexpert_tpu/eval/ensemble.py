@@ -14,7 +14,7 @@ meaned over checkpoints, then metrics computed (chexpert.py:233-236).
 from __future__ import annotations
 
 import os
-from typing import Dict, List, Tuple
+from typing import Dict, List
 
 import jax
 import jax.numpy as jnp

@@ -14,7 +14,7 @@ np.nanmean at chexpert.py:189 — preserve NaN tolerance).
 
 from __future__ import annotations
 
-from typing import Dict, Tuple
+from typing import Dict
 
 import numpy as np
 

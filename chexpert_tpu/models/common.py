@@ -13,8 +13,7 @@ Conventions (TPU-first):
 
 from __future__ import annotations
 
-import math
-from typing import Any, Callable, Optional, Sequence, Tuple
+from typing import Any, Callable, Optional
 
 import flax.linen as nn
 import jax

@@ -21,7 +21,7 @@ aadensenet121 adds attn k=0.2 v=0.1 nh=8 relative input 320x320
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Optional, Sequence, Tuple
+from typing import Optional, Sequence, Tuple
 
 import flax.linen as nn
 import jax

@@ -16,7 +16,7 @@ stage (efficientnet.py:128).
 from __future__ import annotations
 
 import math
-from typing import Any, Sequence, Tuple
+from typing import Any
 
 import flax.linen as nn
 import jax

@@ -13,14 +13,14 @@ captures the per-arch optimizer/scheduler choices:
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Sequence, Tuple
+from typing import Tuple
 
 import flax.linen as nn
 import jax.numpy as jnp
 
 from chexpert_tpu.models.densenet import AttnParams, DenseNet
 from chexpert_tpu.models.efficientnet import SCALING_PARAMS, EfficientNet
-from chexpert_tpu.models.resnet import ResNet, WideResNet
+from chexpert_tpu.models.resnet import ResNet
 
 N_CLASSES = 5  # competition pathologies (reference dataset.py:25)
 

@@ -15,7 +15,7 @@ run on every host (TPU runtime env vars supply coordinator/process ids).
 
 from __future__ import annotations
 
-from typing import Optional, Sequence
+from typing import Optional
 
 import jax
 import numpy as np

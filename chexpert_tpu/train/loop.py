@@ -12,7 +12,7 @@ from __future__ import annotations
 
 import os
 import time
-from typing import Dict, Iterable, Optional, Tuple
+from typing import Dict, Tuple
 
 import jax
 import numpy as np

@@ -13,7 +13,7 @@ Reference semantics preserved:
 
 from __future__ import annotations
 
-from typing import Callable, Optional, Sequence
+from typing import Callable, Optional
 
 import optax
 

@@ -8,7 +8,7 @@ ensemble vmaps over.
 
 from __future__ import annotations
 
-from typing import Any, Callable
+from typing import Any
 
 import flax.struct
 import jax
