@@ -232,6 +232,13 @@ def _flash_forward(q, k, v, rw, rh, H: int, W: int):
     tq, tk = _pick_tiles(hw)
     hwp = _pad_len(hw, tq, tk)
     bn = B * nh
+    # each program keeps one (b, h)'s full K'/V resident in VMEM (~16 MB/core)
+    kv_bytes = hwp * (daug + dvh) * q.dtype.itemsize
+    assert kv_bytes < 12 * 1024 * 1024, (
+        f"attention K'/V of {kv_bytes/1e6:.1f} MB per (batch, head) exceeds the "
+        f"VMEM budget at HW={hw} — this kernel targets the AAConv geometries "
+        "(HW <= ~40k); stream K blocks from HBM for longer sequences"
+    )
 
     qa, ka = _pack(q, k, rw, rh, H, W)
 
