@@ -68,16 +68,22 @@ def main() -> int:
     }
     batch = jax.device_put(batch, batch_sharding(mesh))
 
-    for _ in range(args.warmup):
+    state, loss = train_step(state, batch)
+    first_loss = float(loss)
+    for _ in range(args.warmup - 1):
         state, loss = train_step(state, batch)
-    float(loss)  # hard sync via value fetch (block_until_ready alone has
-    #              proven unreliable on the tunneled 'axon' platform)
+    warm_loss = float(loss)  # value fetch = hard sync (block_until_ready
+    #                          alone has proven unreliable over the tunnel)
 
     t0 = time.perf_counter()
     for _ in range(args.steps):
         state, loss = train_step(state, batch)
-    float(loss)
+    final_loss = float(loss)
     dt = time.perf_counter() - t0
+    # guard: a benchmark of a broken step is meaningless
+    assert np.isfinite(final_loss) and final_loss < first_loss, (
+        f"train step not learning: {first_loss} -> {final_loss}"
+    )
 
     img_s = args.batch * args.steps / dt
     print(
