@@ -106,3 +106,47 @@ def transfer_and_compare_with_head(torch_model, flax_model, hw, arch, atol):
         train=False,
     )
     np.testing.assert_allclose(np.asarray(out), ref_out, atol=atol)
+
+
+def test_legacy_densenet_zoo_keys(tmp_path, monkeypatch):
+    """Old torchvision zoo densenet files use 'norm.1'/'conv.2' key naming;
+    the full --pretrained flow (env dir -> file -> convert) must handle it."""
+    tm = ref_models.DenseNet(8, (2, 2, 2), 16, num_classes=1000)
+    tm.eval()
+    sd = tm.state_dict()
+    legacy = {}
+    for k, v in sd.items():
+        for a, b in [("norm1.", "norm.1."), ("norm2.", "norm.2."),
+                     ("conv1.", "conv.1."), ("conv2.", "conv.2.")]:
+            if "denselayer" in k and a in k:
+                k = k.replace(a, b)
+                break
+        legacy[k] = v
+    assert any(".norm.1." in k for k in legacy)
+    d = tmp_path / "zoo"
+    d.mkdir()
+    torch.save(legacy, str(d / "densenet121.pth"))
+
+    fm = DenseNet(8, (2, 2, 2), 16, num_classes=5, dtype=jnp.float32)
+    params, stats = init_model(fm, jax.random.PRNGKey(0), (1, 32, 32, 3))
+    monkeypatch.setenv("CHEXPERT_TPU_PRETRAINED_DIR", str(d))
+    from chexpert_tpu.models.pretrained import load_pretrained
+
+    new_params, new_stats = load_pretrained("densenet121", params, stats)
+    # backbone transferred (head skipped): conv0 kernels match
+    np.testing.assert_allclose(
+        np.asarray(new_params["conv0"]["kernel"]),
+        sd["features.conv0.weight"].numpy().transpose(2, 3, 1, 0),
+    )
+    # classifier head untouched (fresh 5-way init)
+    assert new_params["classifier"]["kernel"].shape == (
+        np.asarray(params["classifier"]["kernel"]).shape
+    )
+
+
+def test_load_pretrained_missing_file(monkeypatch, tmp_path):
+    from chexpert_tpu.models.pretrained import load_pretrained
+
+    monkeypatch.setenv("CHEXPERT_TPU_PRETRAINED_DIR", str(tmp_path))
+    with pytest.raises(FileNotFoundError):
+        load_pretrained("densenet121", {}, {})
