@@ -76,6 +76,9 @@ class Config:
     # decode-once packed uint8 cache for the training input pipeline (the
     # JPEG-per-epoch path cannot feed a TPU chip from few host cores)
     packed_cache: bool = False
+    # with data_aug+packed_cache: run crop/flip on device instead of host
+    # (host-side memmap crops measured faster on v5e; kept as an option)
+    device_aug: bool = False
     # capture a jax.profiler trace of the first training steps
     profile: bool = False
     # resume from output_dir/checkpoint_latest.msgpack automatically when

@@ -106,7 +106,7 @@ def train_epoch(
         # device-resident mask would force a per-step transfer)
         imgs += int(batch["mask"].shape[0])
 
-        if step % cfg.log_interval == 0:
+        if cfg.log_interval and step % cfg.log_interval == 0:
             loss_val = float(loss)
             lr = float(schedule(step - 1))
             dt = time.time() - t0
@@ -120,7 +120,7 @@ def train_epoch(
             )
             t0, imgs = time.time(), 0
 
-        if step % cfg.eval_interval == 0:
+        if cfg.eval_interval and step % cfg.eval_interval == 0:
             metrics = evaluate_single_model(eval_step, state, valid_batches, mesh)
             _log_eval(writer, metrics, step)
             _checkpoint(cfg, state, metrics, step)

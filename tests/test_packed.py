@@ -119,4 +119,5 @@ def test_device_aug_training_e2e(tmp_path):
         "--compute_dtype", "float32", "--data_parallel", "2", "--data_workers", "2",
         "--n_epochs", "1", "--lr", "1e-2", "--log_interval", "1",
         "--eval_interval", "100", "--packed_cache", "--data_aug",
+        "--device_aug",
     ]) == 0
