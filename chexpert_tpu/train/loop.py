@@ -89,6 +89,9 @@ def train_epoch(
 ) -> TrainState:
     """(reference train_epoch, chexpert.py:152-196)"""
     t0, imgs, local = time.time(), 0, 0
+    # host-side mirror of the device step counter: fetching the replicated
+    # scalar per step costs a device round-trip
+    step = int(state.step)
     # profiling hooks (SURVEY.md §5): trace 10 steady-state steps of epoch 0
     prof_start, prof_stop = (3, 13) if (cfg.profile and epoch == 0) else (-1, -1)
     for batch in device_prefetch(train_batches, batch_sharding(mesh), depth=cfg.prefetch):
@@ -101,7 +104,7 @@ def train_epoch(
         if local == prof_stop:
             jax.block_until_ready(loss)
             jax.profiler.stop_trace()
-        step = int(state.step)
+        step += 1
         # train drops partial batches, so every batch is full (and summing the
         # device-resident mask would force a per-step transfer)
         imgs += int(batch["mask"].shape[0])
