@@ -333,6 +333,7 @@ def main(argv=None) -> int:
     rng = np.random.RandomState(args.seed)
     sh = batch_sharding(mesh)
 
+    step = int(state.step)  # host-side mirror: avoid per-step device fetches
     if args.train:
         for epoch in range(args.n_epochs):
             order = rng.permutation(len(xtr)) if not args.mini_data else np.arange(len(xtr))
@@ -342,7 +343,7 @@ def main(argv=None) -> int:
                 xb = jax.device_put(jnp.asarray(normalize(xb)), sh)
                 yb = jax.device_put(jnp.asarray(ytr[idx], jnp.int32), sh)
                 state, loss = train_step(state, xb, yb)
-                step = int(state.step)
+                step += 1
                 if step % args.log_interval == 0:
                     lv = float(loss)
                     writer.add_scalar("train_loss", lv, step)
