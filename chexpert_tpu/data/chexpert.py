@@ -24,7 +24,6 @@ from __future__ import annotations
 
 import json
 import os
-import sys
 import zipfile
 from typing import Dict, List, Optional, Sequence
 
@@ -61,12 +60,10 @@ def _maybe_download_and_extract(root: str) -> None:
 
         print(f"Downloading {URL} to {fpath}")
 
-        def _progress(count, block_size, total_size):
-            sys.stdout.write(
-                "\r>> Downloading %s %.1f%%"
-                % (fpath, float(count * block_size) / float(total_size) * 100.0)
-            )
-            sys.stdout.flush()
+        def _progress(n_blocks, block_size, total_bytes):
+            done = min(n_blocks * block_size, total_bytes)
+            pct = 100.0 * done / max(total_bytes, 1)
+            print(f"\rdownload: {pct:5.1f}% of {total_bytes} bytes", end="", flush=True)
 
         request.urlretrieve(URL, fpath, _progress)
         print()

@@ -1,13 +1,14 @@
 """Matplotlib artifact rendering: vis grids, attention maps, ROC/PR plots.
 
-Behavioral parity with /root/reference/chexpert.py:305-427: per-category
-3x[table | original | CAM-overlay] grids saved under output_dir/vis, per-layer
-per-pixel attention-map grids, and the 2xN ROC/PR figure under
-output_dir/plots.
+Output parity with /root/reference/chexpert.py:305-427 — same filenames,
+figure geometry, colormaps and panel layout, so artifacts are drop-in
+comparable — but composed here from small panel renderers rather than the
+reference's inline figure code.
 """
 
 from __future__ import annotations
 
+import itertools
 import os
 from typing import Dict, List, Sequence
 
@@ -19,31 +20,58 @@ import numpy as np
 
 from chexpert_tpu.data.chexpert import ATTR_NAMES
 
+# Output-spec constants (shared with the reference so artifacts match
+# pixel-for-pixel; chexpert.py:329,349-351,366-370,379,400,421-426).
+_GRID_FIG_SCALE = (4 / 100, 3.3 / 100)   # (width, height) per image pixel
+_TABLE_CMAP = plt.cm.Greens              # GT/prob cell shading
+_PROBE_WINDOW = 30                        # attention probe half-window, px
+_PROBE_COLOR = (1.0, 215 / 255, 0.0)      # highlight square (yellow)
+_CURVE_LIMS = (0.0, 1.05)                 # ROC/PR axis limits
 
-def visualize_one(img, mask, label, patient_id, prob, attr_names, axs):
-    """[table of GT vs probs | original | CAM overlay] (chexpert.py:339-361)."""
-    sort_idxs = prob.argsort()[::-1]
-    label = label[sort_idxs]
-    prob = prob[sort_idxs]
-    names = [attr_names[i] for i in sort_idxs]
-    axs[0].set_title(patient_id)
-    data = np.stack([label, prob.round(3)]).T
-    axs[0].table(
-        cellText=data, rowLabels=names, colLabels=["Ground truth", "Pred. prob"],
-        rowColours=plt.cm.Greens(0.5 * label),
-        cellColours=plt.cm.Greens(0.5 * data), cellLoc="center", loc="center",
-    )
-    axs[0].axis("tight")
-    axs[1].set_title("Original image", fontsize=10)
-    axs[1].imshow(img.squeeze(), cmap="gray")
-    axs[2].set_title(
-        "Top class activation \n{}: {:.4f}".format(names[0], prob[0]), fontsize=10
-    )
-    axs[2].imshow(img.squeeze(), cmap="gray")
-    axs[2].imshow(mask.squeeze(), cmap="jet", alpha=0.5)
-    for ax in axs:
-        ax.axis("off")
 
+# --------------------------------------------------------------------------
+# panel renderers
+# --------------------------------------------------------------------------
+
+def _render_table_panel(ax, names, label, prob, title):
+    """GT-vs-probability table, cells shaded green by value."""
+    cells = np.stack([label, prob.round(3)], axis=1)
+    ax.table(
+        cellText=cells,
+        rowLabels=names,
+        colLabels=["Ground truth", "Pred. prob"],
+        rowColours=_TABLE_CMAP(0.5 * label),
+        cellColours=_TABLE_CMAP(0.5 * cells),
+        cellLoc="center",
+        loc="center",
+    )
+    ax.set_title(title)
+    ax.axis("tight")
+    ax.axis("off")
+
+
+def _render_image_panel(ax, img, title, overlay=None):
+    """Grayscale image, optionally with a jet heatmap overlay."""
+    ax.imshow(np.asarray(img).squeeze(), cmap="gray")
+    if overlay is not None:
+        ax.imshow(np.asarray(overlay).squeeze(), cmap="jet", alpha=0.5)
+    ax.set_title(title, fontsize=10)
+    ax.axis("off")
+
+
+def _render_example_row(axs, img, mask, label, prob, patient_id, attr_names):
+    """One vis-grid row: [table | original | top-class CAM overlay]."""
+    order = np.argsort(prob)[::-1]  # most-confident class first
+    names = [attr_names[i] for i in order]
+    _render_table_panel(axs[0], names, label[order], prob[order], title=patient_id)
+    _render_image_panel(axs[1], img, "Original image")
+    cam_title = "Top class activation \n{}: {:.4f}".format(names[0], prob[order][0])
+    _render_image_panel(axs[2], img, cam_title, overlay=mask)
+
+
+# --------------------------------------------------------------------------
+# entry points
+# --------------------------------------------------------------------------
 
 def save_vis_grids(
     imgs: np.ndarray,          # (N, H, W, C) denormalized
@@ -57,28 +85,50 @@ def save_vis_grids(
     output_dir: str,
     step: int,
 ) -> List[str]:
-    """One figure per vis category (chexpert.py:328-337). Returns paths."""
+    """One figure per vis category, rows of [table|image|CAM]. Returns paths."""
+    h_px, w_px = imgs.shape[1], imgs.shape[2]
+    figsize = (_GRID_FIG_SCALE[0] * h_px, _GRID_FIG_SCALE[1] * w_px)
     paths = []
     for attr, cat_idxs in zip(vis_attrs, vis_idxs):
-        n_rows = max(len(cat_idxs), 1)
-        fig, axs = plt.subplots(
-            n_rows, 3,
-            figsize=(4 * imgs.shape[1] / 100, 3.3 * imgs.shape[2] / 100),
-            dpi=100, frameon=False, squeeze=False,
-        )
+        rows = max(len(cat_idxs), 1)
+        fig, axs = plt.subplots(rows, 3, figsize=figsize, dpi=100,
+                                frameon=False, squeeze=False)
         fig.suptitle(attr)
-        for i, idx in enumerate(cat_idxs):
-            offset = idxs.index(idx)
-            visualize_one(
-                imgs[offset], masks[offset], labels[offset],
-                patient_ids[offset], probs[offset], ATTR_NAMES, axs[i],
+        for row_axs, df_idx in zip(axs, cat_idxs):
+            k = idxs.index(df_idx)  # batch position of this dataframe row
+            _render_example_row(
+                row_axs, imgs[k], masks[k], labels[k], probs[k],
+                patient_ids[k], ATTR_NAMES,
             )
-        filename = "vis_{}_step_{}.png".format(attr.replace(" ", "_"), step)
-        path = os.path.join(output_dir, "vis", filename)
-        plt.savefig(path, dpi=100)
-        plt.close()
-        paths.append(path)
+        for ax in axs.flat:
+            ax.axis("off")
+        out = os.path.join(
+            output_dir, "vis",
+            "vis_{}_step_{}.png".format(attr.replace(" ", "_"), step),
+        )
+        fig.savefig(out, dpi=100)
+        plt.close(fig)
+        paths.append(out)
     return paths
+
+
+def _probe_points(h: int, w: int) -> List[tuple]:
+    """Four probe pixels: vertices of the centered 1/3-side square."""
+    return list(itertools.product((h // 3, 2 * h // 3), (w // 3, 2 * w // 3)))
+
+
+def _clamped_window(arr: np.ndarray, center: tuple, half: int) -> np.ndarray:
+    """Square crop of `arr`'s two leading dims around `center`, edge-clamped."""
+    (r, c), hw = center, half
+    return arr[max(r - hw, 0): r + hw, max(c - hw, 0): c + hw]
+
+
+def _with_probe_highlight(img: np.ndarray, center: tuple, half: int) -> np.ndarray:
+    """RGB copy of a (H, W, C) image with a solid square painted at `center`."""
+    rgb = np.repeat(img, 3, axis=-1) if img.shape[-1] == 1 else img[..., :3].copy()
+    patch = _clamped_window(rgb, center, half)
+    patch[...] = _PROBE_COLOR
+    return np.clip(rgb, 0.0, 1.0)
 
 
 def save_attn_maps(
@@ -89,69 +139,84 @@ def save_attn_maps(
     output_dir: str,
     batch_element: int = 0,
 ) -> List[str]:
-    """Per-layer attention grids (chexpert.py:363-397): 4 probe pixels at
-    1/3-2/3 grid vertices, window-mean-pooled attention, rows=heads+image."""
-    H, W = x.shape[1:3]
+    """Per-attention-layer probe grids: column per probe pixel (input image
+    with the probe highlighted on top, one window-mean attention map per head
+    below). Returns paths."""
+    img = x[batch_element]
+    H, W = img.shape[:2]
+    image_probes = _probe_points(H, W)
     paths = []
-    pix_to_vis = lambda h, w: [
-        (h // 3, w // 3), (h // 3, int(2 * w / 3)),
-        (int(2 * h / 3), w // 3), (int(2 * h / 3), int(2 * w / 3)),
-    ]
-    window = 30
 
-    for j, weights in enumerate(attn_weights):
-        nh = weights.shape[1]
-        fig, axs = plt.subplots(nh + 1, 4, figsize=(3, 3 / 4 * (1 + nh)), frameon=False)
+    for layer_i, layer_weights in enumerate(attn_weights):
+        attn = np.asarray(layer_weights[batch_element])   # (nh, HW, HW)
+        nh = attn.shape[0]
+        side = int(np.sqrt(attn.shape[-1]))               # feature-map h == w
+        # Attention over keys, reshaped to (head, qh, qw, kh, kw); probe
+        # windows are taken in query space at feature-map scale.
+        attn = attn.reshape(nh, side, side, side, side)
+        feat_half = max(1, int(_PROBE_WINDOW * side / H))
+
+        fig, axs = plt.subplots(nh + 1, 4, figsize=(3, 3 / 4 * (1 + nh)),
+                                frameon=False)
         fig.suptitle(str(patient_ids[batch_element]), fontsize=8)
-        for ax, (ph, pw) in zip(axs[0], pix_to_vis(H, W)):
-            image = x[batch_element].copy()
-            image = np.repeat(image, 3, axis=-1) if image.shape[-1] == 1 else image[..., :3]
-            lo = (max(ph - window, 0), max(pw - window, 0))
-            image[lo[0] : ph + window, lo[1] : pw + window] = np.array([1.0, 215 / 255, 0])
-            ax.imshow(np.clip(image, 0, 1))
+        for col, (img_pt, feat_pt) in enumerate(
+            zip(image_probes, _probe_points(side, side))
+        ):
+            axs[0, col].imshow(_with_probe_highlight(img, img_pt, _PROBE_WINDOW))
+            for head in range(nh):
+                key_map = _clamped_window(attn[head], feat_pt, feat_half).mean((0, 1))
+                axs[head + 1, col].imshow(key_map)
+        for ax in axs.flat:
             ax.axis("off")
-        attn = weights[batch_element]  # (nh, HW, HW)
-        h = w = int(np.sqrt(attn.shape[-1]))
-        ws = max(1, int(window * h / H))
-        attn = attn.reshape(nh, h, w, h, w)
-        for i, (ph, pw) in enumerate(pix_to_vis(h, w)):
-            for hi in range(nh):
-                win = attn[hi, max(ph - ws, 0) : ph + ws, max(pw - ws, 0) : pw + ws]
-                axs[hi + 1, i].imshow(win.mean((0, 1)))
-                axs[hi + 1, i].axis("off")
-        filename = f"attn_image_idx_{idxs[batch_element]}_{batch_element}_layer_{j}.png"
-        path = os.path.join(output_dir, "vis", filename)
+
+        out = os.path.join(
+            output_dir, "vis",
+            f"attn_image_idx_{idxs[batch_element]}_{batch_element}_layer_{layer_i}.png",
+        )
         fig.subplots_adjust(0, 0, 1, 0.95, 0.05, 0.05)
-        plt.savefig(path)
-        plt.close()
-        paths.append(path)
+        fig.savefig(out)
+        plt.close(fig)
+        paths.append(out)
     return paths
+
+
+def _per_class_curves(metrics: Dict, labels: Sequence[str]):
+    """Yield (label, fpr, tpr, auc, precision, recall) per class, in order."""
+    keys = list(metrics["fpr"].keys())
+    for name, k in zip(labels, keys):
+        auc = metrics["aucs"][k]
+        yield (
+            name,
+            metrics["fpr"][k], metrics["tpr"][k],
+            float("nan") if auc is None else auc,
+            metrics["precision"][k], metrics["recall"][k],
+        )
 
 
 def plot_roc(metrics: Dict, output_dir: str, filename: str,
              labels: Sequence[str] = tuple(ATTR_NAMES)) -> str:
-    """2xN ROC + PR grid from a saved eval_results json (chexpert.py:399-427)."""
+    """2xN figure from a saved eval_results json: ROC per class on the top
+    row (with AUC legend + chance diagonal), PR per class below."""
     fig, axs = plt.subplots(2, len(labels), figsize=(24, 12))
-    for i, (fpr, tpr, aucs, precision, recall, label) in enumerate(
-        zip(metrics["fpr"].values(), metrics["tpr"].values(), metrics["aucs"].values(),
-            metrics["precision"].values(), metrics["recall"].values(), labels)
+    for col, (name, fpr, tpr, auc, prec, rec) in enumerate(
+        _per_class_curves(metrics, labels)
     ):
-        axs[0, i].plot(fpr, tpr, label="AUC = %0.2f" % (aucs if aucs is not None else float("nan")))
-        axs[0, i].plot([0, 1], [0, 1], "k--")
-        axs[0, i].set_xlabel("False Positive Rate")
-        axs[1, i].step(recall, precision, where="post")
-        axs[1, i].set_xlabel("Recall")
-        axs[0, i].set_title(label)
-        axs[0, i].legend(loc="lower right")
-    plt.suptitle(filename)
+        roc_ax, pr_ax = axs[0, col], axs[1, col]
+        roc_ax.plot(fpr, tpr, label="AUC = %0.2f" % auc)
+        roc_ax.plot([0, 1], [0, 1], "k--")
+        roc_ax.set(title=name, xlabel="False Positive Rate")
+        roc_ax.legend(loc="lower right")
+        pr_ax.step(rec, prec, where="post")
+        pr_ax.set(xlabel="Recall")
+
+    fig.suptitle(filename)
     axs[0, 0].set_ylabel("True Positive Rate")
     axs[1, 0].set_ylabel("Precision")
-    for ax in axs.flatten():
-        ax.set_xlim([0.0, 1.05])
-        ax.set_ylim([0.0, 1.05])
-        ax.set_aspect("equal")
-    plt.tight_layout()
+    for ax in axs.flat:
+        ax.set(xlim=_CURVE_LIMS, ylim=_CURVE_LIMS, aspect="equal")
+    fig.tight_layout()
+
     path = os.path.join(output_dir, "plots", filename + ".png")
-    plt.savefig(path, pad_inches=0.0)
-    plt.close()
+    fig.savefig(path, pad_inches=0.0)
+    plt.close(fig)
     return path
