@@ -80,6 +80,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--compute_dtype", default="bfloat16", choices=["bfloat16", "float32"])
     p.add_argument("--data_parallel", type=int, default=0)
     p.add_argument("--model_parallel", type=int, default=1)
+    p.add_argument("--multihost", action="store_true",
+                   help="Multi-process (TPU pod) mode: jax.distributed init, "
+                        "host-contiguous hybrid mesh, per-host batch slices. "
+                        "Run the same command on every host; batch_size stays "
+                        "the GLOBAL batch size.")
     p.add_argument("--attn_impl", default="pallas", choices=["pallas", "einsum"])
     p.add_argument("--data_workers", type=int, default=8)
     p.add_argument("--prefetch", type=int, default=2)
@@ -110,7 +115,22 @@ class Runner:
 
     def __init__(self, cfg: Config):
         self.cfg = cfg
-        self.mesh = create_mesh(cfg.data_parallel, cfg.model_parallel)
+        if cfg.multihost:
+            from chexpert_tpu.parallel import multihost
+
+            multihost.initialize()
+            assert cfg.batch_size % max(jax.process_count(), 1) == 0, (
+                f"global batch_size {cfg.batch_size} must divide over "
+                f"{jax.process_count()} processes"
+            )
+            self.mesh = multihost.create_hybrid_mesh(
+                cfg.data_parallel, cfg.model_parallel
+            )
+            # each process loads only its contiguous shard of the global batch
+            self.host_slice = multihost.host_batch_slice(cfg.batch_size)
+        else:
+            self.mesh = create_mesh(cfg.data_parallel, cfg.model_parallel)
+            self.host_slice = None
         n_data = self.mesh.shape["data"]
         assert cfg.batch_size % n_data == 0, (
             f"batch_size {cfg.batch_size} must divide over data axis {n_data}"
@@ -217,6 +237,7 @@ class Runner:
                 shuffle=train, augment=train and cfg.data_aug and not device_aug,
                 emit_stored=device_aug,
                 drop_last=drop_last, seed=cfg.seed, epoch=epoch,
+                host_slice=self.host_slice,
             )
         return Batches(
             index, cfg.batch_size, shuffle=train,
@@ -224,6 +245,7 @@ class Runner:
             image_size=cfg.image_size, resize=cfg.resize,
             workers=cfg.data_workers, seed=cfg.seed, epoch=epoch,
             drop_last=drop_last,
+            host_slice=self.host_slice,
         )
 
     def n_params(self) -> int:

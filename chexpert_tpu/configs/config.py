@@ -79,6 +79,10 @@ class Config:
     # with data_aug+packed_cache: run crop/flip on device instead of host
     # (host-side memmap crops measured faster on v5e; kept as an option)
     device_aug: bool = False
+    # multi-process (TPU pod) mode: jax.distributed.initialize + hybrid
+    # host-contiguous mesh; each process loads only its slice of the global
+    # batch (batch_size stays the GLOBAL batch size)
+    multihost: bool = False
     # capture a jax.profiler trace of the first training steps
     profile: bool = False
     # resume from output_dir/checkpoint_latest.msgpack automatically when

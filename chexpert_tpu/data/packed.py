@@ -98,6 +98,7 @@ class PackedBatches:
         seed: int = 0,
         epoch: int = 0,
         emit_stored: bool = False,
+        host_slice: Optional[slice] = None,
     ):
         self.index = index
         self.mm = np.load(cache_path, mmap_mode="r")
@@ -111,6 +112,10 @@ class PackedBatches:
         # emit the full stored tile (with crop margin) — the train step crops
         # and flips ON DEVICE (train/steps.py::device_augment)
         self.emit_stored = emit_stored
+        # multi-host: this process's contiguous rows of each GLOBAL batch.
+        # Shuffle order is seed-derived, identical on every host; augment
+        # draws are position-keyed so sliced and unsliced streams match.
+        self.host_slice = host_slice or slice(0, batch_size)
         assert len(self.mm) == len(index), (len(self.mm), len(index))
 
     def __len__(self) -> int:
@@ -124,13 +129,19 @@ class PackedBatches:
         if self.shuffle:
             rng.shuffle(order)
         bs, s = self.batch_size, self.image_size
+        lo, hi, _ = self.host_slice.indices(bs)
+        local_bs = hi - lo  # this process's rows per global batch
         stored = self.mm.shape[1]
         labels = self.index.all_labels()
         indices = self.index.all_indices()
-        for start in range(0, n, bs):
-            chunk = order[start : start + bs]
-            if len(chunk) < bs and self.drop_last:
+        for bi, start in enumerate(range(0, n, bs)):
+            global_chunk = order[start : start + bs]
+            if len(global_chunk) < bs and self.drop_last:
                 break
+            # padding lives at the global-batch tail, so the valid rows of a
+            # contiguous host slice are a prefix of it
+            batch_n = max(0, min(hi, len(global_chunk)) - lo)
+            chunk = global_chunk[lo : lo + batch_n]
             raw = self.mm[np.sort(chunk)]  # sorted gather = sequential IO
             unsort = np.argsort(np.argsort(chunk))
             raw = raw[unsort]
@@ -138,11 +149,17 @@ class PackedBatches:
             if self.emit_stored:
                 img = raw  # device-side augment crops to image_size
             elif self.augment and stored > s:
-                tops = rng.randint(0, stored - s + 1, len(chunk))
-                lefts = rng.randint(0, stored - s + 1, len(chunk))
-                flips = rng.rand(len(chunk)) < 0.5
-                img = np.empty((len(chunk), s, s), np.uint8)
-                for i in range(len(chunk)):
+                # draws keyed by (seed, epoch, global batch number) for the
+                # FULL global batch, then sliced — every host sees the same
+                # crop/flip for a given example regardless of its slice
+                brng = np.random.RandomState(
+                    (self.seed + 1_000_003 * self.epoch + 7_919 * bi) % (2**31)
+                )
+                tops = brng.randint(0, stored - s + 1, bs)[lo : lo + batch_n]
+                lefts = brng.randint(0, stored - s + 1, bs)[lo : lo + batch_n]
+                flips = (brng.rand(bs) < 0.5)[lo : lo + batch_n]
+                img = np.empty((batch_n, s, s), np.uint8)
+                for i in range(batch_n):
                     c = raw[i, tops[i] : tops[i] + s, lefts[i] : lefts[i] + s]
                     img[i] = c[:, ::-1] if flips[i] else c
             else:
@@ -151,14 +168,14 @@ class PackedBatches:
 
             # ship raw uint8 single-channel: 12x less H2D traffic than f32
             # 3-channel; the jitted step normalizes + expands on device
-            image = np.zeros((bs, s_out, s_out, 1), np.uint8)
-            image[: len(chunk), :, :, 0] = img
-            label = np.zeros((bs, labels.shape[1]), np.float32)
-            label[: len(chunk)] = labels[chunk]
-            idx = np.zeros((bs,), np.int64)
-            idx[: len(chunk)] = indices[chunk]
-            mask = np.zeros((bs,), np.float32)
-            mask[: len(chunk)] = 1.0
+            image = np.zeros((local_bs, s_out, s_out, 1), np.uint8)
+            image[:batch_n, :, :, 0] = img
+            label = np.zeros((local_bs, labels.shape[1]), np.float32)
+            label[:batch_n] = labels[chunk]
+            idx = np.zeros((local_bs,), np.int64)
+            idx[:batch_n] = indices[chunk]
+            mask = np.zeros((local_bs,), np.float32)
+            mask[:batch_n] = 1.0
             label_mask = (label != -1.0).astype(np.float32)  # U-Ignore support
             label = np.clip(label, 0.0, 1.0)
             yield {"image": image, "label": label, "label_mask": label_mask,

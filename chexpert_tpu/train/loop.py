@@ -30,17 +30,45 @@ from chexpert_tpu.train.state import TrainState
 from chexpert_tpu.utils import MetricsWriter, save_json
 
 
+def _host_rows(x) -> np.ndarray:
+    """Batch rows addressable on this process, as one numpy array.
+
+    Single-process (fully addressable) arrays convert directly; in
+    multi-process mode only this host's shards are fetched, in batch order
+    (the hybrid mesh keeps each host's rows contiguous)."""
+    if getattr(x, "is_fully_addressable", True):
+        return np.asarray(x)
+    shards = sorted(x.addressable_shards, key=lambda s: s.index[0].start or 0)
+    return np.concatenate([np.asarray(s.data) for s in shards])
+
+
 def evaluate(eval_step, state: TrainState, batches: Batches, mesh) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Full pass collecting (outputs, targets, losses); padding masked out.
-    (reference evaluate, chexpert.py:198-211)"""
-    outs, targets, losses = [], [], []
+    (reference evaluate, chexpert.py:198-211)
+
+    Multi-process: each host collects its local rows; full (unmasked) arrays
+    are allgathered across processes — equal shape per host — and the padding
+    mask is applied after, so every host computes identical global metrics."""
+    outs, targets, losses, masks = [], [], [], []
     for batch in device_prefetch(batches, batch_sharding(mesh)):
         out, per_elem = eval_step(state, batch)
-        mask = np.asarray(batch["mask"]).astype(bool)
-        outs.append(np.asarray(out)[mask])
-        targets.append(np.asarray(batch["label"])[mask])
-        losses.append(np.asarray(per_elem)[mask])
-    return np.concatenate(outs), np.concatenate(targets), np.concatenate(losses)
+        outs.append(_host_rows(out))
+        targets.append(_host_rows(batch["label"]))
+        losses.append(_host_rows(per_elem))
+        masks.append(_host_rows(batch["mask"]))
+    outs, targets, losses, mask = (
+        np.concatenate(outs), np.concatenate(targets),
+        np.concatenate(losses), np.concatenate(masks),
+    )
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        outs, targets, losses, mask = (
+            multihost_utils.process_allgather(a, tiled=True)
+            for a in (outs, targets, losses, mask)
+        )
+    keep = mask.astype(bool)
+    return outs[keep], targets[keep], losses[keep]
 
 
 def evaluate_single_model(eval_step, state, batches, mesh) -> Dict:

@@ -1,8 +1,18 @@
-"""Multi-host helpers in single-process mode."""
+"""Multi-host helpers + per-host batch-slice pipeline path.
+
+Real pod execution needs multiple processes; here the per-host slicing is
+simulated single-process: Batches/PackedBatches built with explicit
+host_slice values must tile exactly into the unsliced global batches."""
+
+import os
 
 import jax
 import numpy as np
+import pytest
 
+from chexpert_tpu.data import ChexpertIndex, make_synthetic_dataset
+from chexpert_tpu.data.packed import PackedBatches, build_packed_cache
+from chexpert_tpu.data.pipeline import Batches
 from chexpert_tpu.parallel.multihost import (
     create_hybrid_mesh,
     host_batch_slice,
@@ -26,3 +36,69 @@ def test_hybrid_mesh_single_process():
 def test_host_batch_slice():
     sl = host_batch_slice(64)
     assert sl == slice(0, 64)  # single process owns the whole batch
+
+
+@pytest.fixture(scope="module")
+def mh_data(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("mh_data"))
+    make_synthetic_dataset(root, n_train=16, n_valid=10, image_size=32)
+    return root
+
+
+def _tile(batches_per_host, keys=("image", "label", "index", "mask")):
+    """Concatenate per-host batch streams back into global batches."""
+    out = []
+    for parts in zip(*batches_per_host):
+        out.append({k: np.concatenate([p[k] for p in parts]) for k in keys})
+    return out
+
+
+def test_batches_host_slices_tile_to_global(mh_data):
+    index = ChexpertIndex(mh_data, "valid", download=False)
+    kw = dict(batch_size=8, image_size=32, workers=2)
+    full = list(Batches(index, **kw))
+    halves = [
+        list(Batches(index, **kw, host_slice=slice(0, 4))),
+        list(Batches(index, **kw, host_slice=slice(4, 8))),
+    ]
+    assert all(b["image"].shape[0] == 4 for h in halves for b in h)
+    for got, want in zip(_tile(halves), full):
+        for k in ("image", "label", "index", "mask"):
+            np.testing.assert_array_equal(got[k], want[k], err_msg=k)
+    # final partial global batch: padding rows land on the tail host slice
+    assert halves[1][-1]["mask"].tolist() == [0, 0, 0, 0]  # 10 = 8 + 2
+
+
+def test_packed_host_slices_tile_to_global(mh_data):
+    index = ChexpertIndex(mh_data, "train", download=False)
+    path = build_packed_cache(
+        index, os.path.join(mh_data, "mh_cache"), image_size=32, workers=2,
+        pack_margin=8,
+    )
+    kw = dict(batch_size=8, image_size=32, shuffle=True, augment=True, seed=3)
+    full = list(PackedBatches(index, path, **kw))
+    quarters = [
+        list(PackedBatches(index, path, **kw, host_slice=slice(i * 2, i * 2 + 2)))
+        for i in range(4)
+    ]
+    # shuffle order and augment draws are host-independent: slices tile exactly
+    for got, want in zip(_tile(quarters), full):
+        for k in ("image", "label", "index", "mask"):
+            np.testing.assert_array_equal(got[k], want[k], err_msg=k)
+
+
+def test_cli_multihost_flag_wires_mesh_and_slice(mh_data, tmp_path):
+    """--multihost in single-process mode: hybrid mesh + full-batch slice."""
+    from chexpert_tpu.cli.chexpert import Runner, config_from_args
+
+    cfg = config_from_args([
+        "--train", "--multihost", "--data_path", mh_data,
+        "--output_dir", str(tmp_path / "out"), "--model", "densenet-tiny",
+        "--image_size", "32", "--batch_size", "8", "--compute_dtype",
+        "float32", "--data_parallel", "2",
+    ])
+    runner = Runner(cfg)
+    assert runner.host_slice == slice(0, 8)  # 1 process owns the whole batch
+    assert dict(runner.mesh.shape) == {"data": 2, "model": 1}
+    batch = next(iter(runner.batches(runner.index("valid"), train=False)))
+    assert batch["image"].shape[0] == 8
