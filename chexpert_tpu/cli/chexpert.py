@@ -150,7 +150,16 @@ class Runner:
         hw = cfg.resize or cfg.image_size
         rng = jax.random.PRNGKey(cfg.seed)
         params, batch_stats = init_model(self.model, rng, (1, hw, hw, 3))
-        if cfg.pretrained:
+        # --pretrained only matters for FRESH initialization: when a full
+        # checkpoint restore is pending (explicit --restore or an auto-resume
+        # hit), the ImageNet weights would be immediately overwritten — and
+        # restoring a pretrained-trained run must not require the pretrained
+        # weight files to still exist
+        restore_pending = bool(cfg.restore) or (
+            cfg.auto_resume
+            and os.path.exists(os.path.join(cfg.output_dir, "checkpoint_latest.msgpack"))
+        )
+        if cfg.pretrained and not restore_pending:
             from chexpert_tpu.models.pretrained import load_pretrained
 
             params, batch_stats = load_pretrained(cfg.model, params, batch_stats)

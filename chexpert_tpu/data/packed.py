@@ -13,12 +13,16 @@ packed cache:
     cost; normalization and augmentation crops are cheap numpy slices, and
     the /255-whiten runs on-device fused into the first conv's input
 
-Packing is resumable and incremental (separate cache file per (mode, size,
-policy) tuple).
+Packing is resumable (a killed pack restarts from the last flushed chunk via
+a .progress sidecar) and caches never collide: the filename is keyed by
+(mode, size, resize, hash of the row indices), so a changed --data_filter or
+--mini_data gets its own file, and a reused cache is validated against the
+index's rows before use.
 """
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
 from concurrent.futures import ThreadPoolExecutor
@@ -30,9 +34,20 @@ from chexpert_tpu.data.chexpert import ChexpertIndex
 from chexpert_tpu.data.transforms import center_crop, load_grayscale, resize_min_edge
 
 
-def pack_cache_path(cache_dir: str, mode: str, size: int, resize: Optional[int]) -> str:
+def pack_cache_path(
+    cache_dir: str, mode: str, size: int, resize: Optional[int],
+    index_key: str = "",
+) -> str:
     tag = f"{mode}_s{size}" + (f"_r{resize}" if resize else "")
+    if index_key:
+        tag += f"_i{index_key}"
     return os.path.join(cache_dir, f"packed_{tag}.u8")
+
+
+def _index_key(indices: np.ndarray) -> str:
+    """Short content key over the row subset (two different filters of the
+    same length must never share a cache file)."""
+    return hashlib.sha1(np.asarray(indices, np.int64).tobytes()).hexdigest()[:8]
 
 
 def build_packed_cache(
@@ -42,25 +57,49 @@ def build_packed_cache(
     resize: Optional[int] = None,
     workers: int = 8,
     pack_margin: int = 32,
+    chunk_rows: int = 512,
 ) -> str:
     """Decode+crop the whole index into a uint8 memmap. Returns the path.
 
     Images are stored at image_size + pack_margin so random-crop augmentation
     still has jitter room (the final crop happens at batch time).
+
+    Packing is resumable: rows are decoded in chunks of ``chunk_rows``; after
+    each chunk the memmap is flushed and a .progress sidecar records the done
+    count, so a killed pack resumes from the last complete chunk instead of
+    restarting 223k decodes from zero.
     """
     os.makedirs(cache_dir, exist_ok=True)
     stored = image_size + (pack_margin if index.mode == "train" else 0)
-    path = pack_cache_path(cache_dir, index.mode, stored, resize)
+    indices = index.all_indices()
+    key = _index_key(indices)
+    path = pack_cache_path(cache_dir, index.mode, stored, resize, key)
     meta_path = path + ".json"
     n = len(index)
     if os.path.exists(path) and os.path.exists(meta_path):
         meta = json.load(open(meta_path))
-        if meta["n"] == n and meta["size"] == stored:
+        if (meta["n"] == n and meta["size"] == stored
+                and meta.get("indices") == indices.tolist()):
             return path
 
-    mm = np.lib.format.open_memmap(
-        path + ".tmp", mode="w+", dtype=np.uint8, shape=(n, stored, stored)
-    )
+    # resume from a previous interrupted pack if its sidecar matches
+    tmp_path, prog_path = path + ".tmp", path + ".progress"
+    done = 0
+    if os.path.exists(tmp_path) and os.path.exists(prog_path):
+        try:
+            prog = json.load(open(prog_path))
+        except (ValueError, OSError):
+            prog = {}
+        if prog.get("n") == n and prog.get("size") == stored and prog.get("key") == key:
+            done = min(int(prog.get("done_rows", 0)), n)
+    if done:
+        mm = np.lib.format.open_memmap(tmp_path, mode="r+")
+        if mm.shape != (n, stored, stored) or mm.dtype != np.uint8:
+            done = 0
+    if not done:
+        mm = np.lib.format.open_memmap(
+            tmp_path, mode="w+", dtype=np.uint8, shape=(n, stored, stored)
+        )
 
     def decode(pos: int) -> None:
         # match the JPEG pipeline semantics exactly: optional min-edge
@@ -72,13 +111,19 @@ def build_packed_cache(
         mm[pos] = center_crop(arr, stored)[..., 0]
 
     with ThreadPoolExecutor(max(1, workers)) as pool:
-        list(pool.map(decode, range(n)))
-    mm.flush()
+        for start in range(done, n, chunk_rows):
+            stop = min(start + chunk_rows, n)
+            list(pool.map(decode, range(start, stop)))
+            mm.flush()
+            with open(prog_path + ".tmp", "w") as f:
+                json.dump({"n": n, "size": stored, "key": key, "done_rows": stop}, f)
+            os.replace(prog_path + ".tmp", prog_path)
     del mm
-    os.replace(path + ".tmp", path)
+    os.replace(tmp_path, path)
     with open(meta_path, "w") as f:
-        json.dump({"n": n, "size": stored,
-                   "indices": index.all_indices().tolist()}, f)
+        json.dump({"n": n, "size": stored, "indices": indices.tolist()}, f)
+    if os.path.exists(prog_path):
+        os.remove(prog_path)
     return path
 
 

@@ -70,9 +70,13 @@ def make_optimizer(
     elif spec.kind == "sgd_nesterov":
         tx = optax.sgd(schedule, momentum=spec.momentum, nesterov=True)
     elif spec.kind == "rmsprop":
-        # torch RMSprop: alpha (decay) .99, eps outside sqrt, momentum .9
+        # torch RMSprop: alpha (decay) .99, momentum .9, and eps added OUTSIDE
+        # the sqrt (grad / (sqrt(v) + eps)); optax defaults to eps_in_sqrt=True
+        # (rsqrt(v + eps)), which with the reference's large eps=1e-3 diverges
+        # badly for small-gradient params — pin torch semantics explicitly
         tx = optax.rmsprop(
-            schedule, decay=0.99, eps=spec.eps, momentum=spec.momentum
+            schedule, decay=0.99, eps=spec.eps, momentum=spec.momentum,
+            eps_in_sqrt=False,
         )
     else:
         raise ValueError(spec.kind)

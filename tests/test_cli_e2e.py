@@ -61,6 +61,31 @@ def test_restore_and_ensemble_and_plots(workdir):
     assert any(p.startswith("roc_pr_") for p in plots)
 
 
+def test_restore_skips_pretrained_load(workdir, monkeypatch):
+    """Restoring a run trained with --pretrained must not re-load the
+    ImageNet weights (they'd be overwritten; the files may be gone)."""
+    import chexpert_tpu.models.pretrained as pre
+
+    def boom(*a, **kw):
+        raise AssertionError("load_pretrained called despite pending restore")
+
+    monkeypatch.setattr(pre, "load_pretrained", boom)
+    out = os.path.join(workdir, "run")
+    # simulate a run whose saved config recorded pretrained=True
+    cfg_path = os.path.join(out, "config.json")
+    saved = json.load(open(cfg_path))
+    saved["pretrained"] = True
+    json.dump(saved, open(cfg_path, "w"))
+    try:
+        assert run_main(workdir, [
+            "--evaluate_single_model",
+            "--restore", os.path.join(out, "checkpoint_latest.msgpack"),
+        ]) == 0
+    finally:
+        saved["pretrained"] = False
+        json.dump(saved, open(cfg_path, "w"))
+
+
 def test_restore_single_and_visualize(workdir):
     out = os.path.join(workdir, "run")
     assert run_main(workdir, [

@@ -67,6 +67,66 @@ def test_packed_augment_jitter(tmp_path):
     assert not np.array_equal(a["image"], b["image"])  # different crops per epoch
 
 
+def test_packed_resume_after_kill(tmp_path, monkeypatch):
+    """A killed pack resumes from the last flushed chunk, not from zero."""
+    import chexpert_tpu.data.packed as packed_mod
+
+    root = str(tmp_path)
+    make_synthetic_dataset(root, n_train=4, n_valid=12, image_size=40)
+    index = ChexpertIndex(root, "valid", download=False)
+    cache = os.path.join(root, "c")
+    real = packed_mod.load_grayscale
+
+    calls = {"n": 0}
+
+    def dies_mid_pack(path, **kw):
+        calls["n"] += 1
+        if calls["n"] > 6:  # dies in the 2nd chunk of 4
+            raise RuntimeError("simulated kill")
+        return real(path, **kw)
+
+    monkeypatch.setattr(packed_mod, "load_grayscale", dies_mid_pack)
+    with pytest.raises(RuntimeError, match="simulated kill"):
+        build_packed_cache(index, cache, image_size=40, workers=1, chunk_rows=4)
+    import glob
+    assert not glob.glob(os.path.join(cache, "*.u8"))  # only .tmp + .progress
+
+    resumed = {"n": 0}
+
+    def counting(path, **kw):
+        resumed["n"] += 1
+        return real(path, **kw)
+
+    monkeypatch.setattr(packed_mod, "load_grayscale", counting)
+    path = build_packed_cache(index, cache, image_size=40, workers=1, chunk_rows=4)
+    assert resumed["n"] == 8  # rows 0-3 kept from the first attempt
+    monkeypatch.setattr(packed_mod, "load_grayscale", real)
+    fresh = build_packed_cache(index, os.path.join(root, "c2"), image_size=40,
+                               workers=2, chunk_rows=4)
+    np.testing.assert_array_equal(np.load(path, mmap_mode="r"),
+                                  np.load(fresh, mmap_mode="r"))
+
+
+def test_packed_cache_keyed_by_row_subset(tmp_path):
+    """Two different row subsets of the same length get distinct caches
+    (stale-cache hazard: same (mode, n, size) but different rows)."""
+    root = str(tmp_path)
+    make_synthetic_dataset(root, n_train=12, n_valid=4, image_size=32)
+    cache = os.path.join(root, "c")
+    head = ChexpertIndex(root, "train", download=False, mini_data=6)
+    mid = ChexpertIndex(root, "train", download=False)
+    mid.data = mid.data.iloc[3:9]  # same length, different rows
+    p_head = build_packed_cache(head, cache, image_size=32, pack_margin=0)
+    p_mid = build_packed_cache(mid, cache, image_size=32, pack_margin=0)
+    assert p_head != p_mid
+    # each cache row matches its own index's decode
+    b_head = next(iter(PackedBatches(head, p_head, 6, image_size=32)))
+    b_mid = next(iter(PackedBatches(mid, p_mid, 6, image_size=32)))
+    np.testing.assert_array_equal(b_head["index"], head.all_indices())
+    np.testing.assert_array_equal(b_mid["index"], mid.all_indices())
+    assert not np.array_equal(b_head["image"], b_mid["image"])
+
+
 def test_prepare_image_dtypes():
     u8 = jnp.asarray(np.full((2, 4, 4, 1), 255, np.uint8))
     out = np.asarray(prepare_image(u8))

@@ -73,6 +73,37 @@ def test_schedules():
     assert abs(float(s(5)) - 0.5) < 1e-5 and float(s(10)) == 1.0
 
 
+def test_rmsprop_matches_torch():
+    """optax rmsprop must use torch eps semantics: grad / (sqrt(v) + eps),
+    eps OUTSIDE the sqrt (torch.optim.RMSprop; reference chexpert.py:499).
+    With the reference's large eps=1e-3 the in-sqrt variant diverges badly
+    for small-gradient params, changing EfficientNet dynamics."""
+    import optax
+    import torch
+
+    rng = np.random.RandomState(0)
+    p0 = rng.randn(7).astype(np.float32)
+    grads = [rng.randn(7).astype(np.float32) * 10.0 ** rng.randint(-4, 1)
+             for _ in range(4)]
+
+    tp = torch.nn.Parameter(torch.tensor(p0))
+    topt = torch.optim.RMSprop([tp], lr=1e-2, alpha=0.99, eps=1e-3, momentum=0.9)
+    for g in grads:
+        tp.grad = torch.tensor(g)
+        topt.step()
+
+    spec = OptimizerSpec("rmsprop")
+    tx, _ = make_optimizer(spec, 1e-2)
+    params = jnp.asarray(p0)
+    opt_state = tx.init(params)
+    for g in grads:
+        updates, opt_state = tx.update(jnp.asarray(g), opt_state, params)
+        params = optax.apply_updates(params, updates)
+
+    np.testing.assert_allclose(np.asarray(params), tp.detach().numpy(),
+                               rtol=1e-5, atol=1e-6)
+
+
 def test_overfit_one_batch():
     """Convergence sanity mirror of the reference --mini_data debugging
     (chexpert.py:46): a tiny model must overfit one batch."""
