@@ -33,6 +33,36 @@ def test_probe_gradient_matches_finite_difference():
     np.testing.assert_allclose(float(jnp.sum(g * d)), float(jvp_val), rtol=1e-5)
 
 
+def test_grad_cam_single_forward():
+    """The cam path runs ONE real model trace (a jax.vjp forward+backward);
+    the only other apply is the zero-FLOP jax.eval_shape shape probe.
+    (The reference does one fwd+bwd, chexpert.py:260-303.)"""
+    model = DenseNet(8, (2, 2), 16, num_classes=5, dtype=jnp.float32)
+    params, stats = init_model(model, jax.random.PRNGKey(0), (1, 16, 16, 3))
+    variables = {"params": params, "batch_stats": stats}
+    x = jnp.asarray(np.random.RandomState(2).randn(2, 16, 16, 3), jnp.float32)
+
+    applies = {"n": 0}
+
+    class CountingModel:
+        def apply(self, *a, **kw):
+            applies["n"] += 1
+            return model.apply(*a, **kw)
+
+    import chexpert_tpu.interpret.gradcam as gc
+
+    # stub the (zero-FLOP) shape probe so the counter sees only real traces
+    shape = gc._feature_shape(model, variables, x)
+    orig = gc._feature_shape
+    gc._feature_shape = lambda *a: shape
+    try:
+        cam, logits = grad_cam(CountingModel(), variables, x)
+    finally:
+        gc._feature_shape = orig
+    assert cam.shape == (2, 16, 16, 1) and logits.shape == (2, 5)
+    assert applies["n"] == 1  # the single vjp forward trace
+
+
 def test_grad_cam_output_contract():
     model = DenseNet(8, (2, 2), 16, num_classes=5, dtype=jnp.float32)
     params, stats = init_model(model, jax.random.PRNGKey(0), (1, 16, 16, 3))
