@@ -68,7 +68,12 @@ def torch_to_flax_effnet(sd, blocks_cfg):
     return params, stats
 
 
-@pytest.mark.parametrize("name", ["efficientnet-b0"])
+@pytest.mark.parametrize(
+    "name",
+    # b1/b4/b7 guard the compound-scaling math (width/depth rounding,
+    # reference construct_model's in-place rescale, efficientnet.py:188-228)
+    ["efficientnet-b0", "efficientnet-b1", "efficientnet-b4", "efficientnet-b7"],
+)
 def test_efficientnet_forward_parity(name):
     tm = ref_eff.construct_model(name, n_classes=5)
     tm.eval()
