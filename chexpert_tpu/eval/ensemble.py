@@ -24,7 +24,7 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 from chexpert_tpu.checkpoint import load_model_checkpoint
 from chexpert_tpu.data.pipeline import Batches, device_prefetch
 from chexpert_tpu.eval.metrics import compute_metrics
-from chexpert_tpu.parallel.mesh import DATA_AXIS, batch_sharding
+from chexpert_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS, batch_sharding
 from chexpert_tpu.train.loss import bce_with_logits
 
 
@@ -49,16 +49,28 @@ def stack_checkpoints(paths: List[str], params_template, batch_stats_template):
     return params, stats
 
 
-def make_ensemble_eval_step(model, mesh, n_members: int):
-    """jit(vmap) forward over the checkpoint axis; batch data-sharded.
+def member_sharding(mesh, n_members: int):
+    """Sharding for the stacked checkpoint axis: over the mesh 'model' axis
+    when the members divide it, else replicated."""
+    m = mesh.shape[MODEL_AXIS]
+    if m > 1 and n_members % m == 0:
+        return NamedSharding(mesh, P(MODEL_AXIS))
+    return NamedSharding(mesh, P())
 
-    Members are kept REPLICATED rather than sharded over the mesh model
-    axis: sharding the vmapped checkpoint axis of conv kernels produced
-    numerically wrong results under GSPMD (verified vs individual applies on
-    the 8-device CPU backend — the batched conv's stacking dim partitioning
-    miscompiles). Data-axis parallelism still applies; revisit if the
-    partitioner is fixed upstream."""
-    del n_members
+
+def make_ensemble_eval_step(model, mesh, n_members: int):
+    """jit forward over the checkpoint axis; batch data-sharded.
+
+    When the member count divides the mesh 'model' axis, members are sharded
+    over it with shard_map (each device shard runs a vmap over its LOCAL
+    members only — the same shard_map technique as the Pallas attention
+    wrapper, ops/pallas_attention.py), so the member axis never reaches the
+    GSPMD partitioner. (An earlier note here claimed GSPMD miscompiles the
+    vmapped member axis of conv kernels; a minimal vmapped-conv repro does
+    NOT reproduce it on this jax version — shard_map is kept because it makes
+    the per-member placement explicit rather than partitioner-dependent.)
+    When members don't divide the axis they are replicated and only the data
+    axis is parallel."""
 
     def member_forward(params, batch_stats, image):
         return model.apply(
@@ -67,18 +79,32 @@ def make_ensemble_eval_step(model, mesh, n_members: int):
 
     vmapped = jax.vmap(member_forward, in_axes=(0, 0, None))
 
+    memb_sh = member_sharding(mesh, n_members)
+    if memb_sh.spec == P(MODEL_AXIS):
+        from jax.experimental.shard_map import shard_map
+
+        # per-shard: local members x local batch rows; no collectives needed
+        # (eval uses running BN stats, outputs concatenate over both axes)
+        fwd = shard_map(
+            vmapped, mesh=mesh,
+            in_specs=(P(MODEL_AXIS), P(MODEL_AXIS), P(DATA_AXIS)),
+            out_specs=P(MODEL_AXIS, DATA_AXIS),
+        )
+    else:
+        fwd = vmapped
+
     def step(stacked_params, stacked_stats, batch):
         from chexpert_tpu.train.steps import prepare_image
 
-        outs = vmapped(stacked_params, stacked_stats, prepare_image(batch["image"]))  # (K, B, C)
+        outs = fwd(stacked_params, stacked_stats, prepare_image(batch["image"]))  # (K, B, C)
         losses = bce_with_logits(outs, batch["label"][None])  # (K, B, C)
         return outs, losses
 
-    repl = NamedSharding(mesh, P())
-    out_sh = NamedSharding(mesh, P(None, DATA_AXIS))
+    member_axis = MODEL_AXIS if memb_sh.spec == P(MODEL_AXIS) else None
+    out_sh = NamedSharding(mesh, P(member_axis, DATA_AXIS))
     return jax.jit(
         step,
-        in_shardings=(repl, repl, batch_sharding(mesh)),
+        in_shardings=(memb_sh, memb_sh, batch_sharding(mesh)),
         out_shardings=(out_sh, out_sh),
     )
 
@@ -91,6 +117,9 @@ def evaluate_ensemble(
     stacked_params, stacked_stats = stack_checkpoints(
         paths, params_template, batch_stats_template
     )
+    memb_sh = member_sharding(mesh, len(paths))
+    stacked_params = jax.device_put(stacked_params, memb_sh)
+    stacked_stats = jax.device_put(stacked_stats, memb_sh)
     step = make_ensemble_eval_step(model, mesh, len(paths))
     outs, targets, losses = [], [], []
     for batch in device_prefetch(batches, batch_sharding(mesh)):

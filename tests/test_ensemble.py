@@ -71,9 +71,9 @@ def test_ensemble_mean_matches_members(checkpoints):
 
 
 def test_ensemble_2d_mesh_sharding(checkpoints):
-    """(data=4, model=2) mesh: replicated members, data-sharded batch;
-    results identical to the single-device ensemble. (Sharding the member
-    axis over 'model' miscompiles under GSPMD — see make_ensemble_eval_step.)"""
+    """(data=4, model=2) mesh with 2 members: the member axis is SHARDED over
+    'model' via shard_map (one member per model shard, each vmapping only its
+    local members); results identical to the single-device ensemble."""
     assert jax.device_count() >= 8
     model, paths = checkpoints
     params, stats = init_model(model, jax.random.PRNGKey(9), (1, 16, 16, 3))
@@ -85,9 +85,35 @@ def test_ensemble_2d_mesh_sharding(checkpoints):
     ref_out, _ = ref_step(sp, ss, jax.device_put(batch, batch_sharding(ref_mesh)))
 
     mesh = create_mesh(4, 2, devices=jax.devices()[:8])
+    from chexpert_tpu.eval.ensemble import member_sharding
+    from jax.sharding import PartitionSpec as P
+
+    memb_sh = member_sharding(mesh, len(paths))
+    assert memb_sh.spec == P("model")  # 2 members over model axis of 2
+    sp = jax.device_put(sp, memb_sh)
+    ss = jax.device_put(ss, memb_sh)
     step = make_ensemble_eval_step(model, mesh, len(paths))
     out, _ = step(sp, ss, jax.device_put(batch, batch_sharding(mesh)))
+    # member rows really live on distinct model shards
+    k_dim_shards = {s.index[0] for s in out.addressable_shards}
+    assert len(k_dim_shards) == 2
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref_out), atol=2e-4)
+
+
+def test_ensemble_member_sharding_fallback(checkpoints):
+    """3 members on a model axis of 2 -> replicated fallback, same numbers."""
+    model, paths = checkpoints
+    from chexpert_tpu.eval.ensemble import member_sharding
+    from jax.sharding import PartitionSpec as P
+
+    mesh = create_mesh(4, 2, devices=jax.devices()[:8])
+    assert member_sharding(mesh, 3).spec == P()
+    params, stats = init_model(model, jax.random.PRNGKey(9), (1, 16, 16, 3))
+    sp, ss = stack_checkpoints(paths + paths[:1], params, stats)  # K=3
+    step = make_ensemble_eval_step(model, mesh, 3)
+    out, _ = step(sp, ss, jax.device_put(_batch(), batch_sharding(mesh)))
+    assert out.shape[0] == 3
+    np.testing.assert_allclose(np.asarray(out)[0], np.asarray(out)[2], atol=1e-6)
 
 
 def test_auto_resume(tmp_path):
