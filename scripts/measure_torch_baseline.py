@@ -1,0 +1,88 @@
+"""Measure the PyTorch reference's train step on this host's CPU.
+
+The reference publishes no throughput numbers (SURVEY.md §6), so the perf
+baseline must be grounded somewhere measurable. This script times the
+reference-equivalent hot loop — torchvision densenet121 (via the test-local
+shim, torchvision is not installed here), BCEWithLogitsLoss(reduction='none')
+with .sum(1).mean(0), Adam(1e-4), 320x320 inputs — exactly the per-step work
+of /root/reference/chexpert.py:152-164 + :461-473, and records images/sec to
+BASELINE_TORCH_CPU.json at the repo root.
+
+This is a MEASURED floor (single CPU core); bench.py combines it with a
+documented V100-era upper bound to produce a defensible vs_baseline.
+
+Run:  python scripts/measure_torch_baseline.py [--batch 4] [--steps 3]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.dont_write_bytecode = True
+sys.path.insert(0, os.path.join(REPO, "tests", "_torchvision_shim"))
+sys.path.insert(0, "/root/reference")  # read-only golden oracle import
+
+import torch  # noqa: E402
+
+
+def main() -> int:
+    p = argparse.ArgumentParser()
+    p.add_argument("--batch", type=int, default=4)
+    p.add_argument("--steps", type=int, default=3)
+    p.add_argument("--warmup", type=int, default=1)
+    p.add_argument("--image-size", type=int, default=320)
+    args = p.parse_args()
+
+    # the reference's own torchvision-clone DenseNet with densenet121
+    # defaults (attn_aug_conv.py:448-453), 5-class head (chexpert.py:465-467)
+    from models.attn_aug_conv import DenseNet
+
+    torch.manual_seed(0)
+    model = DenseNet(num_classes=5)
+    model.train()
+    opt = torch.optim.Adam(model.parameters(), lr=1e-4)
+    loss_fn = torch.nn.BCEWithLogitsLoss(reduction="none")
+
+    x = torch.randn(args.batch, 3, args.image_size, args.image_size)
+    y = (torch.rand(args.batch, 5) > 0.5).float()
+
+    def step():
+        out = model(x)
+        loss = loss_fn(out, y).sum(1).mean(0)  # reference chexpert.py:160
+        opt.zero_grad()
+        loss.backward()
+        opt.step()
+        return float(loss)
+
+    for _ in range(args.warmup):
+        step()
+    t0 = time.perf_counter()
+    for _ in range(args.steps):
+        step()
+    dt = time.perf_counter() - t0
+
+    img_s = args.batch * args.steps / dt
+    record = {
+        "img_s": round(img_s, 3),
+        "batch": args.batch,
+        "image_size": args.image_size,
+        "steps": args.steps,
+        "torch": torch.__version__,
+        "threads": torch.get_num_threads(),
+        "note": "reference-equivalent densenet121 train step on this host CPU "
+                "(chexpert.py:152-164); measured floor for bench.py vs_baseline",
+    }
+    out = os.path.join(REPO, "BASELINE_TORCH_CPU.json")
+    with open(out, "w") as f:
+        json.dump(record, f, indent=2)
+    print(json.dumps(record))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
