@@ -58,18 +58,24 @@ def relative_logits_compact(
     logit for any key in image column cj; rh of (B, nh, H*W, H) analogously for
     key rows. The full (HW, HW) rel matrix = rw broadcast over key-rows +
     rh broadcast over key-cols.
+
+    Skew-free formulation: instead of the reference's rel_to_abs pad/reshape
+    chain (attn_aug_conv.py:43-53 — each application costs XLA several
+    materialized copies, ~1/5 of an aaresnet152 train step across its 47
+    attention layers), expand the 1-D embedding to absolute index pairs with
+    ONE static diagonal gather of the tiny parameter —
+        rel_w_abs[d, ci, cj] = rel_w[d, cj - ci + W - 1]
+    — and contract it against the queries in a single einsum.
     """
     B, nh, H, W, dkh = q2d.shape
-    # width: einsum to (B, nh, H, W, 2W-1), skew to (B, nh, H, W, W)
-    rw = jnp.einsum("bnhwd,dm->bnhwm", q2d, rel_w)
-    rw = rel_to_abs(rw.reshape(B, nh * H, W, 2 * W - 1)).reshape(B, nh, H, W, W)
-    rw = rw.reshape(B, nh, H * W, W)  # query (ri,ci) flattened; last dim = cj
-    # height: transpose H<->W, same skew, index by key row rj
-    qt = q2d.transpose(0, 1, 3, 2, 4)  # (B, nh, W, H, dkh)
-    rh = jnp.einsum("bnwhd,dm->bnwhm", qt, rel_h)
-    rh = rel_to_abs(rh.reshape(B, nh * W, H, 2 * H - 1)).reshape(B, nh, W, H, H)
-    # rh[b,n,ci,ri,rj] -> index queries as (ri, ci) row-major
-    rh = rh.transpose(0, 1, 3, 2, 4).reshape(B, nh, H * W, H)  # last dim = rj
+    iw = jnp.arange(W)
+    rel_w_abs = rel_w[:, iw[None, :] - iw[:, None] + W - 1]  # (dkh, ci, cj)
+    rw = jnp.einsum("bnhwd,dwm->bnhwm", q2d, rel_w_abs)
+    rw = rw.reshape(B, nh, H * W, W)  # query (ri,ci) row-major; last dim = cj
+    ih = jnp.arange(H)
+    rel_h_abs = rel_h[:, ih[None, :] - ih[:, None] + H - 1]  # (dkh, ri, rj)
+    rh = jnp.einsum("bnhwd,dhm->bnhwm", q2d, rel_h_abs)
+    rh = rh.reshape(B, nh, H * W, H)  # last dim = rj
     return rw, rh
 
 

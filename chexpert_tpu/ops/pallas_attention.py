@@ -15,24 +15,31 @@ rel_to_abs pad/reshape trick (attn_aug_conv.py:43-63):
    matrices RW[i, cj] (HW, W) and RH[i, rj] (HW, H), computed in XLA by
    relative_logits_compact (tiny, differentiable).
 
-2. MXU packing: the systolic array contracts over 128 lanes regardless, so a
-   q.k matmul with dkh~20 wastes 5/6 of the pass. We fold the relative
-   logits INTO that same pass by augmenting:
-       Q'_i = [q_i ; RW_i ; RH_i]            (dkh + W + H lanes)
-       K'_j = [k_j ; onehot_W(cj) ; onehot_H(rj)]
-   giving S = Q' K'^T in ONE matmul (contraction dkh+W+H <= 128 for every
-   layer geometry in this framework) — q.k, width-rel and height-rel logits
-   land fused, with zero extra MXU passes and no gathers.
+2. The logits tile is computed as TWO MXU passes with no gathers:
+       S = q k^T  +  [RW;RH] [onehot_W(cj); onehot_H(rj)]^T
+   The one-hot matmul turns "broadcast rel logit to every key in column cj"
+   into a contraction the systolic array does for free.
 
-The backward recomputes S blockwise (flash backward). dS @ K' yields
-[dq ; dRW ; dRH] in one pass; XLA then backpropagates dRW/dRH through the
-compact einsum to the rel embeddings (and the rel contribution to dq)
-automatically via the custom_vjp composition in aa_attention_pallas.
+   (An earlier revision packed Q' = [q;RW;RH], K' = [k;onehots] into ONE
+   matmul. One MXU pass fewer, but materializing the packed operands cost
+   ~160 MB of HBM copies per layer2 block in aaresnet152 — profiled at ~45%
+   of the op's wall clock. Split operands keep XLA's side of the graph
+   copy-free; the extra thin pass is ~0.3 ms vs ~1.5 ms of copies.)
+
+3. Small feature maps (HW <= 512) make per-(batch, head) work a few
+   microseconds, so the fixed per-program cost dominates — the grid batches
+   G (batch*head) slices per program (_pick_group) to amortize it.
+
+The backward recomputes S blockwise (flash backward). dS k and dS [onehots]
+yield dq and d[RW;RH]; XLA backpropagates d[RW;RH] through the compact
+einsum to the rel embeddings (and the rel contribution to dq) automatically
+via the custom_vjp composition in aa_attention_pallas.
 """
 
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional, Tuple
 
 import jax
@@ -65,6 +72,10 @@ def _pick_tiles(hw: int) -> Tuple[int, int]:
     """(tq, tk) with tk a multiple of tq so one padded length serves both
     grids. Bigger tiles amortize per-tile overhead (measured 2x on v5e going
     128->256/512); candidates trade tile size against padding waste."""
+    override = os.environ.get("CHEXPERT_ATTN_TILES")
+    if override:  # perf experiments (scripts/sweep_attn_tiles.py)
+        tq, tk = (int(t) for t in override.split(","))
+        return tq, tk
     if hw <= 256:
         t = _round8(max(8, hw))
         return t, t
@@ -83,6 +94,26 @@ def _pick_tiles(hw: int) -> Tuple[int, int]:
     return best
 
 
+def _pick_group(bn: int, hw: int) -> int:
+    """(batch*head) slices per program. At small HW the per-program work is
+    a few microseconds of MXU time, so the fixed per-program cost (grid
+    step, DMA issue) dominates — batching G heads into one program amortizes
+    it (measured 43->10 ms for aaresnet152's 36 layer-3 blocks, HW=400). At
+    large HW one (b, h) is already enough work."""
+    override = os.environ.get("CHEXPERT_ATTN_GROUP")
+    if override:
+        g = int(override)
+        return g if g > 0 and bn % g == 0 else 1
+    if hw > 512:
+        return 1
+    # G=8 at HW=400 exceeds the 16 MB scoped-VMEM budget in the backward
+    # (resident dq/dr blocks + per-head lane padding); G=4 fits
+    for g in (4, 2):
+        if bn % g == 0:
+            return g
+    return 1
+
+
 def _pad_len(hw: int, tq: int, tk: int) -> int:
     return _cdiv(hw, tk) * tk if tk % tq == 0 else _cdiv(hw, tq * tk) * tq * tk
 
@@ -93,106 +124,137 @@ def _interpret() -> bool:
 
 
 # ---------------------------------------------------------------------------
-# kernels (operands are packed: qa = [q;RW;RH], ka = [k;ohW;ohH])
+# kernels
+#   q (G, tq|hwp, dkh)   r = [RW;RH] (G, tq|hwp, W+H)   k (G, hwp|tk, dkh)
+#   oh = [onehot_col; onehot_row] (hwp|tk, W+H, shared)   v (G, hwp|tk, dvh)
 # ---------------------------------------------------------------------------
 
-def _fwd_kernel(qa_ref, ka_ref, v_ref, o_ref, lse_ref, *, hw: int, tq: int, tk: int):
-    qa = qa_ref[0]                            # (tq, daug), native dtype
-    nk = _cdiv(hw, tk)
 
-    def body(j, carry):
-        m, l, acc = carry
-        j0 = j * tk
-        ka = ka_ref[0, pl.ds(j0, tk), :]                       # (tk, daug)
-        v_blk = v_ref[0, pl.ds(j0, tk), :]
-
-        s = jax.lax.dot_general(
-            qa, ka, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        )  # (tq, tk) — q.k + rel_w + rel_h in one MXU pass
-        t_ids = j0 + jax.lax.broadcasted_iota(jnp.int32, (1, tk), 1)
-        s = jnp.where(t_ids < hw, s, NEG_INF)
-
-        m_new = jnp.maximum(m, s.max(axis=-1, keepdims=True))
-        alpha = jnp.exp(m - m_new)
-        p = jnp.exp(s - m_new)
-        l_new = l * alpha + p.sum(axis=-1, keepdims=True)
-        acc_new = acc * alpha + jax.lax.dot_general(
-            p.astype(v_blk.dtype), v_blk, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        return m_new, l_new, acc_new
-
-    m0 = jnp.full((tq, 1), NEG_INF, jnp.float32)
-    l0 = jnp.zeros((tq, 1), jnp.float32)
-    acc0 = jnp.zeros((tq, v_ref.shape[-1]), jnp.float32)
-    m, l, acc = jax.lax.fori_loop(0, nk, body, (m0, l0, acc0))
-
-    o_ref[0] = (acc / l).astype(o_ref.dtype)
-    lse_ref[0] = (m + jnp.log(l)).astype(jnp.float32)
-
-
-def _recompute_p(qa, ka, lse, j0, *, hw, tk):
-    s = jax.lax.dot_general(
-        qa, ka, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+def _dot_nt(a, b):
+    """a (m, d) . b (n, d)^T -> (m, n), f32 accumulation on the MXU."""
+    return jax.lax.dot_general(
+        a, b, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )
-    t_ids = j0 + jax.lax.broadcasted_iota(jnp.int32, (1, tk), 1)
-    s = jnp.where(t_ids < hw, s, NEG_INF)
-    return jnp.exp(s - lse)
 
 
-def _bwd_kernel(ka_ref, v_ref, qa_ref, do_ref, lse_ref, delta_ref,
-                dqa_ref, dk_ref, dv_ref, *, hw: int, dkh: int, tq: int, tk: int):
+def _dot_nn(a, b, dtype=jnp.float32):
+    """a (m, n) . b (n, d) -> (m, d), f32 accumulation on the MXU."""
+    return jax.lax.dot_general(
+        a, b, (((1,), (0,)), ((), ())), preferred_element_type=dtype
+    )
+
+
+def _fwd_kernel(q_ref, r_ref, k_ref, oh_ref, v_ref, o_ref, lse_ref,
+                *, hw: int, tq: int, tk: int, G: int):
+    """Online softmax over statically-unrolled key blocks (nk is tiny for
+    every AAConv geometry): block 0 initializes the running stats directly —
+    no NEG_INF/alpha rescale chain — and the padding mask is emitted only
+    for the one tail block that actually has padded keys."""
+    nk = _cdiv(hw, tk)
+    for g in range(G):
+        # pack Q' = [q ; RW ; RH] in VMEM: the s tile becomes ONE MXU pass
+        # (dkh + W + H <= 128 lanes) with no HBM-materialized packed operands
+        qa = jnp.concatenate([q_ref[g], r_ref[g]], axis=-1)  # (tq, dkh+W+H)
+
+        m = l = acc = None
+        for j in range(nk):
+            j0 = j * tk
+            kab = jnp.concatenate(
+                [k_ref[g, pl.ds(j0, tk), :], oh_ref[pl.ds(j0, tk), :]], axis=-1
+            )
+            vb = v_ref[g, pl.ds(j0, tk), :]
+
+            # q.k + rel_w + rel_h in one MXU pass
+            s = _dot_nt(qa, kab)  # (tq, tk) f32
+            if j0 + tk > hw:  # static: only the tail block is padded
+                t_ids = j0 + jax.lax.broadcasted_iota(jnp.int32, (1, tk), 1)
+                s = jnp.where(t_ids < hw, s, NEG_INF)
+
+            bm = s.max(axis=-1, keepdims=True)
+            if m is None:
+                m = bm
+                p = jnp.exp(s - m)
+                l = p.sum(axis=-1, keepdims=True)
+                acc = _dot_nn(p.astype(vb.dtype), vb)
+            else:
+                m_new = jnp.maximum(m, bm)
+                alpha = jnp.exp(m - m_new)
+                p = jnp.exp(s - m_new)
+                l = l * alpha + p.sum(axis=-1, keepdims=True)
+                acc = acc * alpha + _dot_nn(p.astype(vb.dtype), vb)
+                m = m_new
+
+        o_ref[g] = (acc / l).astype(o_ref.dtype)
+        lse_ref[g] = (m + jnp.log(l)).astype(jnp.float32)
+
+
+def _bwd_kernel(k_ref, oh_ref, v_ref, q_ref, r_ref, do_ref, lse_ref, delta_ref,
+                dq_ref, dr_ref, dk_ref, dv_ref,
+                *, hw: int, tq: int, tk: int, G: int):
     """Fused backward: one S-recompute serves dq, dk, dv, dRW, dRH.
 
-    Grid (bn, nk): program ki owns key block ki (writes dk/dv) and loops over
-    query blocks, ACCUMULATING dQaug into an output block whose index map is
-    constant in ki — the TPU grid runs sequentially, so the block stays
-    resident in VMEM across the ki sweep (zeroed at ki == 0, flushed when the
-    bn coordinate advances)."""
+    Grid (bn/G, nk): program ki owns key block ki (writes dk/dv) and loops
+    over query blocks, ACCUMULATING dq/dr into output blocks whose index map
+    is constant in ki — the TPU grid runs sequentially, so the blocks stay
+    resident in VMEM across the ki sweep (zeroed at ki == 0, flushed when
+    the leading coordinate advances)."""
     ki = pl.program_id(1)
     j0 = ki * tk
+    nq = _cdiv(hw, tq)
+    hwp = _cdiv(hw, tk) * tk
 
     @pl.when(ki == 0)
     def _():
-        dqa_ref[0] = jnp.zeros_like(dqa_ref[0])
+        dq_ref[...] = jnp.zeros(dq_ref.shape, dq_ref.dtype)
+        dr_ref[...] = jnp.zeros(dr_ref.shape, dr_ref.dtype)
 
-    ka = ka_ref[0]       # (tk, daug)
-    v_blk = v_ref[0]     # (tk, dvh)
-    dvh = v_blk.shape[-1]
-    nq = _cdiv(hw, tq)
+    dkh = k_ref.shape[-1]
+    for g in range(G):
+        # K' = [k ; onehots] packed once per program in VMEM, reused across
+        # the query sweep: s recompute and dQ' are one MXU pass each
+        kab = jnp.concatenate([k_ref[g], oh_ref[...]], axis=-1)  # (tk, dkh+W+H)
+        vb = v_ref[g]   # (tk, dvh)
 
-    def body(i, carry):
-        dk, dv = carry
-        i0 = i * tq
-        qa = qa_ref[0, pl.ds(i0, tq), :]
-        do = do_ref[0, pl.ds(i0, tq), :]
-        lse = lse_ref[0, pl.ds(i0, tq), :]
-        delta = delta_ref[0, pl.ds(i0, tq), :]
-        p = _recompute_p(qa, ka, lse, j0, hw=hw, tk=tk)
-        dv = dv + jax.lax.dot_general(p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
-                                      preferred_element_type=jnp.float32)
-        dp = jax.lax.dot_general(do, v_blk, (((1,), (1,)), ((), ())),
-                                 preferred_element_type=jnp.float32)
-        ds = (p * (dp - delta)).astype(qa.dtype)
-        # dk = dS^T q — only the first dkh lanes of Q' are the real queries
-        dk = dk + jax.lax.dot_general(ds, qa[:, :dkh], (((0,), (0,)), ((), ())),
-                                      preferred_element_type=jnp.float32)
-        # dQaug accumulation: [dq ; dRW ; dRH] in one pass
-        dqa_ref[0, pl.ds(i0, tq), :] += jax.lax.dot_general(
-            ds, ka, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-        )
-        return dk, dv
+        def body(i, carry):
+            dk, dv = carry
+            i0 = i * tq
+            qa = jnp.concatenate(
+                [q_ref[g, pl.ds(i0, tq), :], r_ref[g, pl.ds(i0, tq), :]], axis=-1
+            )
+            do = do_ref[g, pl.ds(i0, tq), :]
+            lse = lse_ref[g, pl.ds(i0, tq), :]
+            delta = delta_ref[g, pl.ds(i0, tq), :]
 
-    dk0 = jnp.zeros((tk, dkh), jnp.float32)
-    dv0 = jnp.zeros((tk, dvh), jnp.float32)
-    dk, dv = jax.lax.fori_loop(0, nq, body, (dk0, dv0))
-    dk_ref[0] = dk.astype(dk_ref.dtype)
-    dv_ref[0] = dv.astype(dv_ref.dtype)
+            s = _dot_nt(qa, kab)
+            if hwp > hw:  # static: padded keys exist only in the tail block
+                t_ids = j0 + jax.lax.broadcasted_iota(jnp.int32, (1, tk), 1)
+                s = jnp.where(t_ids < hw, s, NEG_INF)
+            p = jnp.exp(s - lse)  # (tq, tk)
+
+            dv = dv + jax.lax.dot_general(
+                p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            dp = _dot_nt(do, vb)
+            ds = (p * (dp - delta)).astype(qa.dtype)
+            dk = dk + jax.lax.dot_general(
+                ds, qa[:, :dkh], (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            dqa = _dot_nn(ds, kab)  # [dq ; dRW ; dRH] in one pass
+            dq_ref[g, pl.ds(i0, tq), :] += dqa[:, :dkh]
+            dr_ref[g, pl.ds(i0, tq), :] += dqa[:, dkh:]
+            return dk, dv
+
+        dk0 = jnp.zeros((tk, dkh), jnp.float32)
+        dv0 = jnp.zeros((tk, vb.shape[-1]), jnp.float32)
+        dk, dv = jax.lax.fori_loop(0, nq, body, (dk0, dv0))
+        dk_ref[g] = dk.astype(dk_ref.dtype)
+        dv_ref[g] = dv.astype(dv_ref.dtype)
 
 
 # ---------------------------------------------------------------------------
 # host-side wrappers
 # ---------------------------------------------------------------------------
+
 
 def _onehot_pos(hw: int, H: int, W: int, dtype) -> jnp.ndarray:
     """(HW, W+H): [onehot_W(col) ; onehot_H(row)] per token, row-major."""
@@ -202,21 +264,11 @@ def _onehot_pos(hw: int, H: int, W: int, dtype) -> jnp.ndarray:
     return jnp.concatenate([oh_c, oh_r], axis=-1)
 
 
-def _pack(q, k, rw, rh, H: int, W: int):
-    """Build Q' = [q;RW;RH], K' = [k;ohW;ohH] of (B, nh, HW, daug).
-
-    Packed operands stay in the input dtype (bf16 in training): the MXU
-    accumulates in f32 either way, matching the einsum path's numerics while
-    halving HBM traffic vs f32 operands.
-    """
-    B, nh, hw, dkh = q.shape
-    dt = q.dtype
-    qa = jnp.concatenate([q, rw.astype(dt), rh.astype(dt)], axis=-1)
-    oh = _onehot_pos(hw, H, W, dt)
-    ka = jnp.concatenate(
-        [k, jnp.broadcast_to(oh, (B, nh, hw, W + H)).astype(dt)], axis=-1
-    )
-    return qa, ka
+def _geometry(hw: int, bn: int):
+    tq, tk = _pick_tiles(hw)
+    hwp = _pad_len(hw, tq, tk)
+    G = _pick_group(bn, hw)
+    return tq, tk, hwp, G
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
@@ -228,101 +280,114 @@ def _flash_attention(q, k, v, rw, rh, H: int, W: int):
 def _flash_forward(q, k, v, rw, rh, H: int, W: int):
     B, nh, hw, dkh = q.shape
     dvh = v.shape[-1]
-    daug = dkh + W + H
-    tq, tk = _pick_tiles(hw)
-    hwp = _pad_len(hw, tq, tk)
+    wh = W + H
     bn = B * nh
-    # each program keeps one (b, h)'s full K'/V resident in VMEM (~16 MB/core)
-    kv_bytes = hwp * (daug + dvh) * q.dtype.itemsize
+    tq, tk, hwp, G = _geometry(hw, bn)
+    # each program keeps G (b, h)'s K/V (+ shared one-hots) resident in VMEM;
+    # lanes pad to 128 on-chip (~16 MB/core budget)
+    lane = 128
+    kv_bytes = hwp * lane * (2 * G + 1) * q.dtype.itemsize
     assert kv_bytes < 12 * 1024 * 1024, (
-        f"attention K'/V of {kv_bytes/1e6:.1f} MB per (batch, head) exceeds the "
+        f"attention K/V of {kv_bytes/1e6:.1f} MB per program exceeds the "
         f"VMEM budget at HW={hw} — this kernel targets the AAConv geometries "
         "(HW <= ~40k); stream K blocks from HBM for longer sequences"
     )
 
-    qa, ka = _pack(q, k, rw, rh, H, W)
+    dt = q.dtype
+    r = jnp.concatenate([rw.astype(dt), rh.astype(dt)], axis=-1)  # (B,nh,hw,wh)
+    oh = _pad_axis(_onehot_pos(hw, H, W, dt), 0, hwp)
 
     def flat(x, d):
         return _pad_axis(x.reshape(bn, hw, d), 1, hwp)
 
-    qaf, kaf, vf = flat(qa, daug), flat(ka, daug), flat(v, dvh)
+    qf, kf, rf, vf = flat(q, dkh), flat(k, dkh), flat(r, wh), flat(v, dvh)
 
-    grid = (bn, hwp // tq)
+    grid = (bn // G, hwp // tq)
     out, lse = pl.pallas_call(
-        functools.partial(_fwd_kernel, hw=hw, tq=tq, tk=tk),
+        functools.partial(_fwd_kernel, hw=hw, tq=tq, tk=tk, G=G),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, tq, daug), lambda b, i: (b, i, 0)),
-            pl.BlockSpec((1, hwp, daug), lambda b, i: (b, 0, 0)),
-            pl.BlockSpec((1, hwp, dvh), lambda b, i: (b, 0, 0)),
+            pl.BlockSpec((G, tq, dkh), lambda b, i: (b, i, 0)),
+            pl.BlockSpec((G, tq, wh), lambda b, i: (b, i, 0)),
+            pl.BlockSpec((G, hwp, dkh), lambda b, i: (b, 0, 0)),
+            pl.BlockSpec((hwp, wh), lambda b, i: (0, 0)),
+            pl.BlockSpec((G, hwp, dvh), lambda b, i: (b, 0, 0)),
         ],
         out_specs=[
-            pl.BlockSpec((1, tq, dvh), lambda b, i: (b, i, 0)),
-            pl.BlockSpec((1, tq, 1), lambda b, i: (b, i, 0)),
+            pl.BlockSpec((G, tq, dvh), lambda b, i: (b, i, 0)),
+            pl.BlockSpec((G, tq, 1), lambda b, i: (b, i, 0)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((bn, hwp, dvh), q.dtype),
             jax.ShapeDtypeStruct((bn, hwp, 1), jnp.float32),
         ],
         interpret=_interpret(),
-    )(qaf, kaf, vf)
-    return out[:, :hw].reshape(B, nh, hw, dvh), (qaf, kaf, vf, lse)
+    )(qf, rf, kf, oh, vf)
+    return out[:, :hw].reshape(B, nh, hw, dvh), (qf, kf, rf, vf, oh, lse)
 
 
 def _flash_fwd_rule(q, k, v, rw, rh, H: int, W: int):
-    out, (qaf, kaf, vf, lse) = _flash_forward(q, k, v, rw, rh, H, W)
+    out, (qf, kf, rf, vf, oh, lse) = _flash_forward(q, k, v, rw, rh, H, W)
     # zero-size dtype/shape witnesses (residuals must be arrays)
     wit = tuple(jnp.zeros((0,) + x.shape, x.dtype) for x in (q, k, v, rw, rh))
-    return out, (qaf, kaf, vf, lse, out, wit)
+    return out, (qf, kf, rf, vf, oh, lse, out, wit)
 
 
 def _flash_bwd_rule(H: int, W: int, res, dout):
-    qaf, kaf, vf, lse, out, wit = res
+    qf, kf, rf, vf, oh, lse, out, wit = res
     qw, kw, vw, rww, rhw = wit
     qdt, kdt, vdt, rwdt, rhdt = (x.dtype for x in wit)
     B, nh, hw, dkh = qw.shape[1:]
     dvh = vf.shape[-1]
-    daug = dkh + W + H
-    tq, tk = _pick_tiles(hw)
-    hwp = _pad_len(hw, tq, tk)
+    wh = W + H
     bn = B * nh
+    tq, tk, hwp, G = _geometry(hw, bn)
 
     delta = jnp.sum(dout.astype(jnp.float32) * out.astype(jnp.float32), axis=-1)
     dof = _pad_axis(dout.reshape(bn, hw, dvh), 1, hwp)
     deltaf = _pad_axis(delta.reshape(bn, hw, 1), 1, hwp)
 
-    grid = (bn, hwp // tk)
-    dqa, dk, dv = pl.pallas_call(
-        functools.partial(_bwd_kernel, hw=hw, dkh=dkh, tq=tq, tk=tk),
+    grid = (bn // G, hwp // tk)
+    dq, dr, dk, dv = pl.pallas_call(
+        functools.partial(_bwd_kernel, hw=hw, tq=tq, tk=tk, G=G),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, tk, daug), lambda b, j: (b, j, 0)),
-            pl.BlockSpec((1, tk, dvh), lambda b, j: (b, j, 0)),
-            pl.BlockSpec((1, hwp, daug), lambda b, j: (b, 0, 0)),
-            pl.BlockSpec((1, hwp, dvh), lambda b, j: (b, 0, 0)),
-            pl.BlockSpec((1, hwp, 1), lambda b, j: (b, 0, 0)),
-            pl.BlockSpec((1, hwp, 1), lambda b, j: (b, 0, 0)),
+            pl.BlockSpec((G, tk, dkh), lambda b, j: (b, j, 0)),
+            pl.BlockSpec((tk, wh), lambda b, j: (j, 0)),
+            pl.BlockSpec((G, tk, dvh), lambda b, j: (b, j, 0)),
+            pl.BlockSpec((G, hwp, dkh), lambda b, j: (b, 0, 0)),
+            pl.BlockSpec((G, hwp, wh), lambda b, j: (b, 0, 0)),
+            pl.BlockSpec((G, hwp, dvh), lambda b, j: (b, 0, 0)),
+            pl.BlockSpec((G, hwp, 1), lambda b, j: (b, 0, 0)),
+            pl.BlockSpec((G, hwp, 1), lambda b, j: (b, 0, 0)),
         ],
         out_specs=[
-            pl.BlockSpec((1, hwp, daug), lambda b, j: (b, 0, 0)),
-            pl.BlockSpec((1, tk, dkh), lambda b, j: (b, j, 0)),
-            pl.BlockSpec((1, tk, dvh), lambda b, j: (b, j, 0)),
+            pl.BlockSpec((G, hwp, dkh), lambda b, j: (b, 0, 0)),
+            pl.BlockSpec((G, hwp, wh), lambda b, j: (b, 0, 0)),
+            pl.BlockSpec((G, tk, dkh), lambda b, j: (b, j, 0)),
+            pl.BlockSpec((G, tk, dvh), lambda b, j: (b, j, 0)),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((bn, hwp, daug), jnp.float32),
+            # dq/dr are += accumulation buffers across the ki sweep: f32.
+            # dk/dv are written once from f32 VMEM carries: emit kernel dtype
             jax.ShapeDtypeStruct((bn, hwp, dkh), jnp.float32),
-            jax.ShapeDtypeStruct((bn, hwp, dvh), jnp.float32),
+            jax.ShapeDtypeStruct((bn, hwp, wh), jnp.float32),
+            jax.ShapeDtypeStruct((bn, hwp, dkh), kf.dtype),
+            jax.ShapeDtypeStruct((bn, hwp, dvh), vf.dtype),
         ],
         interpret=_interpret(),
-    )(kaf, vf, qaf, dof, lse, deltaf)
+    )(kf, oh, vf, qf, rf, dof, lse, deltaf)
 
     def unflat(x, d, dt):
         return x[:, :hw].reshape(B, nh, hw, d).astype(dt)
 
-    dq = unflat(dqa[..., :dkh], dkh, qdt)
-    drw = unflat(dqa[..., dkh : dkh + W], W, rwdt)
-    drh = unflat(dqa[..., dkh + W :], H, rhdt)
-    return dq, unflat(dk, dkh, kdt), unflat(dv, dvh, vdt), drw, drh
+    return (
+        unflat(dq, dkh, qdt),
+        unflat(dk, dkh, kdt),
+        unflat(dv, dvh, vdt),
+        unflat(dr[..., :W], W, rwdt),
+        unflat(dr[..., W:], H, rhdt),
+    )
 
 
 _flash_attention.defvjp(_flash_fwd_rule, _flash_bwd_rule)
@@ -346,13 +411,16 @@ def aa_attention_pallas(
     B, nh, hw, dkh = q.shape
     assert hw == H * W, (hw, H, W)
     if rel_w is not None:
+        # compact rel logits in the kernel dtype: the fused s-dot consumes
+        # them as bf16 lanes with f32 MXU accumulation anyway, and f32 here
+        # costs an extra convert + double-width layout copies per block
         q2d = q.reshape(B, nh, H, W, dkh)
         rw, rh = relative_logits_compact(
-            q2d.astype(jnp.float32), rel_w.astype(jnp.float32), rel_h.astype(jnp.float32)
+            q2d, rel_w.astype(q.dtype), rel_h.astype(q.dtype)
         )
     else:
-        rw = jnp.zeros((B, nh, hw, W), jnp.float32)
-        rh = jnp.zeros((B, nh, hw, H), jnp.float32)
+        rw = jnp.zeros((B, nh, hw, W), q.dtype)
+        rh = jnp.zeros((B, nh, hw, H), q.dtype)
 
     # pallas_call is opaque to GSPMD (operands would be all-gathered under a
     # sharded jit); on a multi-chip mesh, shard-map the kernel over the data
