@@ -151,3 +151,37 @@ def test_attention_pallas_no_relative():
     ref, _ = aa_attention_einsum(q, k, v, None, None, H, W)
     out = aa_attention_pallas(q, k, v, None, None, H, W)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-4)
+
+
+def test_attention_pallas_sharded_gradients_match_single_device():
+    """The shard_map path (multi-chip mesh): outputs and ALL gradients —
+    including the REPLICATED rel embeddings, whose per-device partial
+    cotangents must be psum'd over the data axis — match the unsharded run."""
+    import jax
+    from jax.sharding import Mesh
+
+    from chexpert_tpu.parallel.context import mesh_context
+
+    rng = np.random.RandomState(7)
+    B, nh, H, W, dkh, dvh = 4, 2, 6, 5, 8, 4
+    q = jnp.asarray(rng.randn(B, nh, H * W, dkh), jnp.float32)
+    k = jnp.asarray(rng.randn(B, nh, H * W, dkh), jnp.float32)
+    v = jnp.asarray(rng.randn(B, nh, H * W, dvh), jnp.float32)
+    rel_w = jnp.asarray(rng.randn(dkh, 2 * W - 1), jnp.float32)
+    rel_h = jnp.asarray(rng.randn(dkh, 2 * H - 1), jnp.float32)
+    tgt = jnp.asarray(rng.randn(B, nh, H * W, dvh), jnp.float32)
+
+    def f(q, k, v, rw, rh):
+        out = aa_attention_pallas(q, k, v, rw, rh, H, W)
+        return ((out - tgt) ** 2).sum()
+
+    grad = jax.grad(f, argnums=(0, 1, 2, 3, 4))
+    single = grad(q, k, v, rel_w, rel_h)
+
+    mesh = Mesh(np.array(jax.devices()[:4]).reshape(4, 1), ("data", "model"))
+    with mesh_context(mesh):
+        sharded_out = jax.jit(grad)(q, k, v, rel_w, rel_h)
+    for name, a, b in zip(["dq", "dk", "dv", "drel_w", "drel_h"],
+                          single, sharded_out):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-4,
+                                   err_msg=name)
