@@ -266,6 +266,16 @@ def main(argv=None) -> int:
     from chexpert_tpu.utils.io import enable_compilation_cache
     enable_compilation_cache()
 
+    if cfg.multihost:
+        # distributed init must precede any artifact writes: process_index
+        # gates them (primary-only), and a timestamped default output_dir
+        # would diverge across processes
+        from chexpert_tpu.parallel import multihost
+
+        multihost.initialize()
+        if jax.process_count() > 1:
+            assert cfg.output_dir, "--multihost requires an explicit --output_dir"
+
     cfg = resolve_output_dir(cfg)
     setup_output_dir(cfg)
     writer = MetricsWriter(cfg.output_dir)

@@ -134,5 +134,7 @@ def setup_output_dir(cfg: Config) -> None:
     for sub in ("vis", "plots", "best_checkpoints"):
         os.makedirs(os.path.join(cfg.output_dir, sub), exist_ok=True)
     cfg_path = os.path.join(cfg.output_dir, "config.json")
-    if not os.path.exists(cfg_path):
+    from chexpert_tpu.utils.io import is_primary
+
+    if not os.path.exists(cfg_path) and is_primary():
         cfg.save(cfg_path)

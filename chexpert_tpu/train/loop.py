@@ -83,7 +83,14 @@ def _log_eval(writer: MetricsWriter, metrics: Dict, step: int) -> None:
 
 
 def _checkpoint(cfg: Config, state: TrainState, metrics: Dict, step: int) -> None:
-    """latest + tracked best-K (reference save_checkpoint, chexpert.py:90-123)."""
+    """latest + tracked best-K (reference save_checkpoint, chexpert.py:90-123).
+
+    Multi-process: state is replicated and metrics identical on every host
+    (evaluate allgathers) — the primary writes, others skip."""
+    from chexpert_tpu.utils.io import is_primary
+
+    if not is_primary():
+        return
     eval_loss = sum_loss(metrics)
     auc_mean = avg_auc(metrics)
     save_model_checkpoint(

@@ -7,8 +7,21 @@ import os
 from typing import Any
 
 
+def is_primary() -> bool:
+    """True on the process that owns run artifacts (process 0).
+
+    Multi-process runs compute identical metrics on every host (eval
+    allgathers, train/loop.py:63-69), so writes are primary-only — the
+    others would merely race on the shared files."""
+    import jax
+
+    return jax.process_index() == 0
+
+
 def save_json(data: Any, filename: str, output_dir: str) -> str:
     path = os.path.join(output_dir, filename + ".json")
+    if not is_primary():
+        return path
     with open(path, "w") as f:
         json.dump(data, f, indent=4)
     return path

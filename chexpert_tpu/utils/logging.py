@@ -17,10 +17,18 @@ class MetricsWriter:
     """Append-only scalar log: one JSON object per line in scalars.jsonl."""
 
     def __init__(self, logdir: str):
+        from chexpert_tpu.utils.io import is_primary
+
         self.logdir = logdir
+        # multi-process: every host computes identical scalars — only the
+        # primary writes, the rest would race on the shared files
+        self._active = is_primary()
+        self._f = None
+        self._tb = None
+        if not self._active:
+            return
         os.makedirs(logdir, exist_ok=True)
         self._f = open(os.path.join(logdir, "scalars.jsonl"), "a")
-        self._tb = None
         try:  # optional TensorBoard mirror
             from tensorboardX import SummaryWriter  # type: ignore
 
@@ -29,6 +37,8 @@ class MetricsWriter:
             pass
 
     def add_scalar(self, tag: str, value: float, step: int) -> None:
+        if not self._active:
+            return
         rec = {"tag": tag, "value": float(value), "step": int(step), "ts": time.time()}
         self._f.write(json.dumps(rec) + "\n")
         self._f.flush()
@@ -36,6 +46,8 @@ class MetricsWriter:
             self._tb.add_scalar(tag, value, step)
 
     def add_text(self, tag: str, text: str) -> None:
+        if not self._active:
+            return
         rec = {"tag": tag, "text": text, "ts": time.time()}
         self._f.write(json.dumps(rec) + "\n")
         self._f.flush()
@@ -43,6 +55,8 @@ class MetricsWriter:
             self._tb.add_text(tag, text)
 
     def close(self) -> None:
+        if not self._active:
+            return
         self._f.close()
         if self._tb is not None:
             self._tb.close()

@@ -102,3 +102,62 @@ def test_cli_multihost_flag_wires_mesh_and_slice(mh_data, tmp_path):
     assert dict(runner.mesh.shape) == {"data": 2, "model": 1}
     batch = next(iter(runner.batches(runner.index("valid"), train=False)))
     assert batch["image"].shape[0] == 8
+
+
+@pytest.mark.slow
+def test_two_process_training_matches_single_process(mh_data, tmp_path):
+    """REAL multi-process training: two jax.distributed processes (4 virtual
+    CPU devices each -> 8 global) drive the CLI with --multihost. The loss
+    trajectory must match a single-process 8-device run of the same config,
+    and run artifacts must be written exactly once (primary-only writes)."""
+    import json
+    import socket
+    import subprocess
+    import sys
+
+    from chexpert_tpu.cli.chexpert import main as chexpert_main
+
+    def losses(outdir):
+        recs = [json.loads(l) for l in open(os.path.join(outdir, "scalars.jsonl"))]
+        return {r["step"]: r["value"] for r in recs if r.get("tag") == "train_loss"}
+
+    # reference: single-process run over this process's 8 virtual devices
+    ref_dir = str(tmp_path / "single")
+    rc = chexpert_main([
+        "--train", "--data_path", mh_data, "--output_dir", ref_dir,
+        "--model", "densenet-tiny", "--image_size", "32",
+        "--batch_size", "8", "--n_epochs", "2", "--lr", "1e-2",
+        "--log_interval", "1", "--eval_interval", "2",
+        "--compute_dtype", "float32", "--data_workers", "2",
+    ])
+    assert rc in (0, None)
+
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+
+    mh_dir = str(tmp_path / "multi")
+    worker = os.path.join(os.path.dirname(__file__), "_mh_worker.py")
+    env = dict(os.environ, JAX_PLATFORMS="cpu",
+               PYTHONPATH=os.pathsep.join(
+                   [os.path.dirname(os.path.dirname(__file__))]
+                   + os.environ.get("PYTHONPATH", "").split(os.pathsep)))
+    procs = [
+        subprocess.Popen(
+            [sys.executable, worker, str(port), str(i), "2", mh_data, mh_dir],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+        )
+        for i in range(2)
+    ]
+    outs = [p.communicate(timeout=900)[0].decode() for p in procs]
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, out[-3000:]
+
+    ref, mh = losses(ref_dir), losses(mh_dir)
+    assert set(mh) == set(ref) and len(ref) >= 4
+    for step in ref:
+        np.testing.assert_allclose(mh[step], ref[step], rtol=2e-3,
+                                   err_msg=f"step {step}")
+    # primary-only artifacts: exactly one scalars.jsonl / config / checkpoint
+    assert os.path.exists(os.path.join(mh_dir, "config.json"))
+    assert os.path.exists(os.path.join(mh_dir, "checkpoint_latest.msgpack"))
