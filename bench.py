@@ -119,10 +119,15 @@ def main() -> int:
         for _ in range(args.warmup - 1):
             state, loss = train_step(state, batch)
         float(loss)  # sync
-        # bound sweep wall-clock: fewer timed steps at large batches
+        # bound sweep wall-clock: fewer timed steps at large batches; take
+        # the best of two timing passes (the tunneled dev platform's first
+        # pass after a compile can be cold by 10-15%)
         steps = max(6, min(args.steps, 480 // bs)) if not args.batch else args.steps
-        state, final_loss, dt = _measure(train_step, state, batch, steps)
-        sweep[bs] = round(bs * steps / dt, 2)
+        best_dt = None
+        for _ in range(2):
+            state, final_loss, dt = _measure(train_step, state, batch, steps)
+            best_dt = dt if best_dt is None else min(best_dt, dt)
+        sweep[bs] = round(bs * steps / best_dt, 2)
         # guard: a benchmark of a broken step is meaningless
         assert np.isfinite(final_loss), f"non-finite loss at batch {bs}"
     assert first_loss is not None and final_loss < first_loss, (
