@@ -107,15 +107,13 @@ def main() -> int:
 
     batches = [args.batch] if args.batch else [16, 32, 64, 128]
     sweep, flops_per_img = {}, None
-    first_loss = None
     for bs in batches:
         batch = make_batch(bs)
         if flops_per_img is None:
             f = _flops_per_step(train_step.lower(state, batch).compile())
             flops_per_img = f / bs if f else None
         state, loss = train_step(state, batch)  # compile
-        if first_loss is None:
-            first_loss = float(loss)
+        first_loss = float(loss)
         for _ in range(args.warmup - 1):
             state, loss = train_step(state, batch)
         float(loss)  # sync
@@ -128,11 +126,13 @@ def main() -> int:
             state, final_loss, dt = _measure(train_step, state, batch, steps)
             best_dt = dt if best_dt is None else min(best_dt, dt)
         sweep[bs] = round(bs * steps / best_dt, 2)
-        # guard: a benchmark of a broken step is meaningless
+        # guards: a benchmark of a broken step is meaningless. The learning
+        # check compares first vs final loss on the SAME batch (the repeated
+        # steps above must overfit it)
         assert np.isfinite(final_loss), f"non-finite loss at batch {bs}"
-    assert first_loss is not None and final_loss < first_loss, (
-        f"train step not learning: {first_loss} -> {final_loss}"
-    )
+        assert final_loss < first_loss, (
+            f"train step not learning at batch {bs}: {first_loss} -> {final_loss}"
+        )
 
     best_bs = max(sweep, key=sweep.get)
     img_s = sweep[best_bs]

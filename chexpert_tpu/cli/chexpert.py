@@ -126,8 +126,11 @@ class Runner:
             self.mesh = multihost.create_hybrid_mesh(
                 cfg.data_parallel, cfg.model_parallel
             )
-            # each process loads only its contiguous shard of the global batch
-            self.host_slice = multihost.host_batch_slice(cfg.batch_size)
+            # each process loads only its contiguous shard of the global
+            # batch, derived from (and validated against) the mesh layout
+            self.host_slice = multihost.host_batch_slice_from_mesh(
+                self.mesh, cfg.batch_size
+            )
         else:
             self.mesh = create_mesh(cfg.data_parallel, cfg.model_parallel)
             self.host_slice = None
@@ -332,6 +335,13 @@ def main(argv=None) -> int:
         save_json(metrics, "eval_results_ensemble", cfg.output_dir)
 
     if cfg.visualize:
+        # vis batches are tiny and the artifact path is file-based; per-host
+        # batch slicing would hand each process partial categories (and race
+        # on the PNGs) — run it single-process against the checkpoint instead
+        assert jax.process_count() == 1, (
+            "--visualize is a single-process tool: run it without --multihost "
+            "on one host, restoring the checkpoint"
+        )
         run_visualize(cfg, runner, writer)
 
     if cfg.plot_roc:

@@ -121,14 +121,30 @@ def evaluate_ensemble(
     stacked_params = jax.device_put(stacked_params, memb_sh)
     stacked_stats = jax.device_put(stacked_stats, memb_sh)
     step = make_ensemble_eval_step(model, mesh, len(paths))
-    outs, targets, losses = [], [], []
+    # multi-process safe: collect this host's rows of the (K-meaned, data-
+    # sharded) arrays, allgather across hosts, mask after (same protocol as
+    # train/loop.py evaluate)
+    from chexpert_tpu.train.loop import _host_rows
+
+    outs, targets, losses, masks = [], [], [], []
     for batch in device_prefetch(batches, batch_sharding(mesh)):
         o, l = step(stacked_params, stacked_stats, batch)
-        mask = np.asarray(batch["mask"]).astype(bool)
-        # mean over checkpoints (reference stacks dim 2 then .mean(2))
-        outs.append(np.asarray(o).mean(0)[mask])
-        losses.append(np.asarray(l).mean(0)[mask])
-        targets.append(np.asarray(batch["label"])[mask])
-    return compute_metrics(
-        np.concatenate(outs), np.concatenate(targets), np.concatenate(losses)
+        # mean over checkpoints (reference stacks dim 2 then .mean(2));
+        # computed on device so only (B, C) crosses to host
+        outs.append(_host_rows(jnp.mean(o, axis=0)))
+        losses.append(_host_rows(jnp.mean(l, axis=0)))
+        targets.append(_host_rows(batch["label"]))
+        masks.append(_host_rows(batch["mask"]))
+    outs, targets, losses, mask = (
+        np.concatenate(outs), np.concatenate(targets),
+        np.concatenate(losses), np.concatenate(masks),
     )
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        outs, targets, losses, mask = (
+            multihost_utils.process_allgather(a, tiled=True)
+            for a in (outs, targets, losses, mask)
+        )
+    keep = mask.astype(bool)
+    return compute_metrics(outs[keep], targets[keep], losses[keep])

@@ -38,8 +38,10 @@ def _host_rows(x) -> np.ndarray:
     (the hybrid mesh keeps each host's rows contiguous)."""
     if getattr(x, "is_fully_addressable", True):
         return np.asarray(x)
-    shards = sorted(x.addressable_shards, key=lambda s: s.index[0].start or 0)
-    return np.concatenate([np.asarray(s.data) for s in shards])
+    # dedupe model-axis replicas: with model_parallel > 1 several local
+    # devices hold identical row shards (same index[0]) — keep one each
+    shards = {s.index[0].start or 0: s for s in x.addressable_shards}
+    return np.concatenate([np.asarray(shards[k].data) for k in sorted(shards)])
 
 
 def evaluate(eval_step, state: TrainState, batches: Batches, mesh) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:

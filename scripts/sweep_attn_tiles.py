@@ -71,14 +71,19 @@ def main():
 
     print(f"HW={hw} dvh={dvh} B={B} nh={nh} R={R}")
     results = {}
-    for c in cands:
-        try:
-            results[c] = run(c)
-        except Exception as e:  # VMEM OOM at huge tiles is expected
-            print(f"tiles {c}: FAILED ({type(e).__name__}: {str(e)[:120]})")
+    try:
+        for c in cands:
+            try:
+                results[c] = run(c)
+            except Exception as e:  # VMEM OOM at huge tiles is expected
+                print(f"tiles {c}: FAILED ({type(e).__name__}: {str(e)[:120]})")
+    finally:
+        os.environ.pop("CHEXPERT_ATTN_TILES", None)
+    if not results:
+        print("no tile candidate fit this geometry")
+        return
     best = min(results, key=results.get)
     print(f"best: {best}")
-    os.environ.pop("CHEXPERT_ATTN_TILES", None)
 
 
 if __name__ == "__main__":

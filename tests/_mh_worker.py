@@ -15,17 +15,18 @@ jax.config.update("jax_default_matmul_precision", "highest")
 
 def main() -> int:
     port, pid, nproc, root, outdir = sys.argv[1:6]
+    extra = sys.argv[6:] or ["--train", "--n_epochs", "2"]
     jax.distributed.initialize(f"localhost:{port}", int(nproc), int(pid))
     from chexpert_tpu.cli.chexpert import main as chexpert_main
 
     return chexpert_main([
-        "--train", "--data_path", root, "--output_dir", outdir,
+        "--data_path", root, "--output_dir", outdir,
         "--model", "densenet-tiny", "--image_size", "32",
-        "--batch_size", "8", "--n_epochs", "2", "--lr", "1e-2",
+        "--batch_size", "8", "--lr", "1e-2",
         "--log_interval", "1", "--eval_interval", "2",
         "--compute_dtype", "float32", "--data_workers", "2",
         "--multihost",
-    ]) or 0
+    ] + extra) or 0
 
 
 if __name__ == "__main__":

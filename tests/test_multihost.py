@@ -161,3 +161,62 @@ def test_two_process_training_matches_single_process(mh_data, tmp_path):
     # primary-only artifacts: exactly one scalars.jsonl / config / checkpoint
     assert os.path.exists(os.path.join(mh_dir, "config.json"))
     assert os.path.exists(os.path.join(mh_dir, "checkpoint_latest.msgpack"))
+
+
+def test_host_batch_slice_from_mesh_validates_layout():
+    """Mesh-derived slices: correct rows single-process; loud failure when a
+    data row would span processes is exercised by construction in the
+    two-process test below (mp=2 with 4 devices/host keeps rows host-local)."""
+    from chexpert_tpu.parallel.multihost import host_batch_slice_from_mesh
+
+    mesh = create_hybrid_mesh(4, 2)
+    assert host_batch_slice_from_mesh(mesh, 32) == slice(0, 32)
+    with pytest.raises(AssertionError):
+        host_batch_slice_from_mesh(mesh, 30)  # not divisible by data axis
+
+
+@pytest.mark.slow
+def test_two_process_model_parallel_and_ensemble(mh_data, tmp_path):
+    """Two processes with a (data=4, model=2) hybrid mesh: trains (exercising
+    the mesh-derived host slices and the model-axis replica dedupe in
+    _host_rows), then runs the multi-process ENSEMBLE evaluation over the
+    tracked best checkpoints — both must exit 0 and produce the artifacts."""
+    import json
+    import socket
+    import subprocess
+    import sys
+
+    def spawn(port, outdir, extra):
+        worker = os.path.join(os.path.dirname(__file__), "_mh_worker.py")
+        env = dict(os.environ, JAX_PLATFORMS="cpu",
+                   PYTHONPATH=os.pathsep.join(
+                       [os.path.dirname(os.path.dirname(__file__))]
+                       + os.environ.get("PYTHONPATH", "").split(os.pathsep)))
+        procs = [
+            subprocess.Popen(
+                [sys.executable, worker, str(port), str(i), "2", mh_data, outdir]
+                + extra,
+                env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+            )
+            for i in range(2)
+        ]
+        outs = [p.communicate(timeout=900)[0].decode() for p in procs]
+        for p, out in zip(procs, outs):
+            assert p.returncode == 0, out[-3000:]
+
+    def port():
+        with socket.socket() as s:
+            s.bind(("localhost", 0))
+            return s.getsockname()[1]
+
+    outdir = str(tmp_path / "mp2")
+    spawn(port(), outdir, ["--train", "--n_epochs", "2",
+                           "--data_parallel", "4", "--model_parallel", "2"])
+    assert os.path.exists(os.path.join(outdir, "checkpoint_latest.msgpack"))
+    recs = [json.loads(l) for l in open(os.path.join(outdir, "scalars.jsonl"))]
+    assert any(r.get("tag") == "eval_auc_class_0" for r in recs)
+
+    spawn(port(), outdir, ["--evaluate_ensemble",
+                           "--restore", os.path.join(outdir, "best_checkpoints"),
+                           "--data_parallel", "4", "--model_parallel", "2"])
+    assert os.path.exists(os.path.join(outdir, "eval_results_ensemble.json"))
