@@ -36,6 +36,8 @@ def main():
         cands = [(400, 800), (800, 800), (400, 1600), (800, 1600), (1600, 1600), (200, 800)]
     elif hw == 400:
         cands = [(400, 400), (200, 400), (104, 400), (400, 800)]
+    elif hw == 6400:
+        cands = [(400, 800), (320, 640), (400, 400), (200, 800), (160, 640), (320, 1280)]
     else:
         cands = [(hw, hw)]
 
