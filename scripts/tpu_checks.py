@@ -103,10 +103,9 @@ def _train_smoke(name: str, bs: int = 16, hw: int = 320, steps: int = 10):
 
 
 def check_archs() -> None:
-    for name in ("densenet121", "resnet152", "efficientnet-b0", "aadensenet121"):
+    for name in ("densenet121", "resnet152", "efficientnet-b0",
+                 "aadensenet121", "aaresnet152"):
         _train_smoke(name)
-    # aaresnet152 compiles in ~6 min; include when time permits:
-    #   _train_smoke("aaresnet152")
 
 
 def check_throughput() -> None:
