@@ -185,3 +185,18 @@ def test_attention_pallas_sharded_gradients_match_single_device():
                           single, sharded_out):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-4,
                                    err_msg=name)
+
+
+def test_vmem_guard_rejects_oversized_geometry():
+    """Geometries whose BACKWARD residents exceed the scoped-VMEM budget must
+    fail at trace time with the documented message, not an opaque compiler
+    crash (observed: HW=6400 forward compiled, backward OOM'd at 45 MB)."""
+    from chexpert_tpu.ops.pallas_attention import _flash_forward
+
+    hw, W, H, dkh = 6400, 80, 80, 20
+    q = jnp.zeros((1, 1, hw, dkh), jnp.bfloat16)
+    v = jnp.zeros((1, 1, hw, 1), jnp.bfloat16)
+    rw = jnp.zeros((1, 1, hw, W))
+    rh = jnp.zeros((1, 1, hw, H))
+    with pytest.raises(AssertionError, match="VMEM budget"):
+        _flash_forward(q, q, v, rw, rh, H, W)
