@@ -67,6 +67,8 @@ def main(argv=None) -> int:
     p.add_argument("--fresh", action="store_true", help="rebuild fixture + run dir")
     p.add_argument("--skip-train", action="store_true",
                    help="re-gate an existing run dir (iterating on floors)")
+    p.add_argument("--out", default="",
+                   help="also write the result JSON to this path")
     args = p.parse_args(argv)
 
     if args.tiny:
@@ -148,12 +150,16 @@ def main(argv=None) -> int:
         ),
     }
     ok = all(passed for _, _, passed in checks.values())
-    print(json.dumps({
+    result = {
         "acceptance": "PASS" if ok else "FAIL",
         "mode": "tiny" if args.tiny else "production",
+        "device": str(jax.devices()[0]),
         **{k: {"value": round(v, 4), "floor": f, "ok": passed}
            for k, (v, f, passed) in checks.items()},
-    }))
+    }
+    print(json.dumps(result))
+    if args.out:
+        json.dump(result, open(args.out, "w"), indent=2)
     return 0 if ok else 1
 
 
