@@ -69,6 +69,12 @@ def main(argv=None) -> int:
                    help="re-gate an existing run dir (iterating on floors)")
     p.add_argument("--out", default="",
                    help="also write the result JSON to this path")
+    p.add_argument("--arch", default="densenet121",
+                   help="production-mode architecture to gate")
+    p.add_argument("--lr", default="1e-4",
+                   help="production-mode learning rate (SGD archs like "
+                        "aadensenet121 need ~3e-2 to converge in the gate's "
+                        "~100 steps; their production schedule assumes 60k+)")
     args = p.parse_args(argv)
 
     if args.tiny:
@@ -101,8 +107,8 @@ def main(argv=None) -> int:
     else:
         fixture = dict(n_train=2048, n_valid=128, image_size=320)
         train_flags = [
-            "--model", "densenet121", "--image_size", "320",
-            "--batch_size", "64", "--n_epochs", "3", "--lr", "1e-4",
+            "--model", args.arch, "--image_size", "320",
+            "--batch_size", "64", "--n_epochs", "3", "--lr", args.lr,
             "--compute_dtype", "bfloat16", "--log_interval", "8",
             "--eval_interval", "16", "--packed_cache",
         ]
@@ -153,6 +159,7 @@ def main(argv=None) -> int:
     result = {
         "acceptance": "PASS" if ok else "FAIL",
         "mode": "tiny" if args.tiny else "production",
+        "arch": "densenet-tiny" if args.tiny else args.arch,
         "device": str(jax.devices()[0]),
         **{k: {"value": round(v, 4), "floor": f, "ok": passed}
            for k, (v, f, passed) in checks.items()},
