@@ -116,13 +116,13 @@ def bench_model(B=16, attn_impl="pallas", model_name="aaresnet152", iters=10):
     return dt
 
 
-def trace_model(B=16, attn_impl="pallas", out="/tmp/aares_trace"):
+def trace_model(B=16, attn_impl="pallas", out="/tmp/aares_trace", model_name="aaresnet152"):
     """Capture a profiler trace of 3 real train steps (run: ... trace)."""
     from chexpert_tpu.models import build_model
     from chexpert_tpu.parallel.mesh import batch_sharding, create_mesh, replicated
     from chexpert_tpu.train import TrainState, init_model, jit_steps, make_optimizer
 
-    model, spec = build_model("aaresnet152", attn_impl=attn_impl)
+    model, spec = build_model(model_name, attn_impl=attn_impl)
     tx, _ = make_optimizer(spec, 1e-4)
     params, stats = init_model(model, jax.random.PRNGKey(0), (1, 320, 320, 3))
     state = TrainState.create(params, stats, tx)
