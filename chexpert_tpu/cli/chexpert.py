@@ -24,7 +24,6 @@ from chexpert_tpu.checkpoint import (
 )
 from chexpert_tpu.configs import Config, resolve_output_dir, setup_output_dir
 from chexpert_tpu.data import (
-    ATTR_NAMES,
     Batches,
     ChexpertIndex,
     denormalize,

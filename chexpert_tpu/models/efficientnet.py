@@ -16,7 +16,6 @@ stage (efficientnet.py:128).
 from __future__ import annotations
 
 import math
-from typing import Any
 
 import flax.linen as nn
 import jax

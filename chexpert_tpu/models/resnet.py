@@ -33,7 +33,6 @@ from chexpert_tpu.models.common import (
     batch_norm,
     conv,
     global_avg_pool,
-    kaiming_normal_out_normal,
     max_pool_torch,
 )
 from chexpert_tpu.models.densenet import AttnParams, torch_linear_init
