@@ -31,6 +31,7 @@ from chexpert_tpu.data import (
 )
 from chexpert_tpu.eval.ensemble import evaluate_ensemble, list_checkpoints
 from chexpert_tpu.interpret import grad_cam, plot_roc, save_attn_maps, save_vis_grids
+from chexpert_tpu.interpret.capture import capture_attention_weights
 from chexpert_tpu.models import build_model
 from chexpert_tpu.parallel.mesh import create_mesh
 from chexpert_tpu.train import TrainState, init_model, jit_steps, make_optimizer
@@ -384,13 +385,13 @@ def run_visualize(cfg: Config, runner: Runner, writer: MetricsWriter) -> None:
         probs.append(np.asarray(jax.nn.sigmoid(logits))[m])
         masks.append(np.asarray(cam)[m])
         idx_list += batch["index"][m].tolist()
-        # attention maps: rerun capturing softmax weights (einsum path)
-        _, inter = runner.model.apply(
-            variables, x, train=False, capture_weights=True, mutable=["intermediates"]
-        )
-        weights = _collect_attn_weights(inter["intermediates"])
+        # attention maps: rerun capturing softmax weights (einsum path),
+        # chunked over the batch — full-batch capture is O(B*nh*(HW)^2)
+        # memory, ~2 GB f32 for a 24-image vis batch at 320^2 (the
+        # reference shares this hazard, attn_aug_conv.py:87)
+        weights = capture_attention_weights(runner.model, variables, x)
         if weights:
-            w = [np.asarray(wi)[m] for wi in weights]
+            w = [wi[m] for wi in weights]
             attn_per_layer = (
                 w if attn_per_layer is None
                 else [np.concatenate([a, b]) for a, b in zip(attn_per_layer, w)]
@@ -411,22 +412,6 @@ def run_visualize(cfg: Config, runner: Runner, writer: MetricsWriter) -> None:
             save_attn_maps(
                 imgs, attn_per_layer, patient_ids, idx_list, cfg.output_dir, b
             )
-
-
-def _collect_attn_weights(tree) -> list:
-    """Flatten sow'n attn_weights leaves in deterministic path order."""
-    found = []
-
-    def rec2(node, path):
-        if isinstance(node, dict):
-            if "attn_weights" in node:
-                for v in node["attn_weights"]:
-                    found.append(np.asarray(v))
-            for k in sorted(k for k in node if k != "attn_weights"):
-                rec2(node[k], path + (k,))
-
-    rec2(tree, ())
-    return found
 
 
 if __name__ == "__main__":

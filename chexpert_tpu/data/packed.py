@@ -25,6 +25,7 @@ from __future__ import annotations
 import hashlib
 import json
 import os
+import time
 from concurrent.futures import ThreadPoolExecutor
 from typing import Dict, Iterator, Optional
 
@@ -50,6 +51,45 @@ def _index_key(indices: np.ndarray) -> str:
     return hashlib.sha1(np.asarray(indices, np.int64).tobytes()).hexdigest()[:8]
 
 
+def _cache_valid(path: str, n: int, stored: int, indices: np.ndarray) -> bool:
+    meta_path = path + ".json"
+    if not (os.path.exists(path) and os.path.exists(meta_path)):
+        return False
+    try:
+        meta = json.load(open(meta_path))
+    except (ValueError, OSError):
+        return False
+    return (meta.get("n") == n and meta.get("size") == stored
+            and meta.get("indices") == indices.tolist())
+
+
+def _acquire_pack_lock(lock_path: str, heartbeat_paths, stale_sec: float) -> bool:
+    """One exclusive packer at a time (multihost on a shared filesystem /
+    same-host multi-process: without this every process packs the same index
+    concurrently into the same .tmp memmap — duplicated 223k-image decode
+    work at best, a corrupted cache at worst). O_EXCL creation is the mutex;
+    a lock whose holder died (no heartbeat on the lock or the .progress
+    sidecar for stale_sec) is broken and retried."""
+    try:
+        fd = os.open(lock_path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        os.write(fd, f"{os.getpid()}\n".encode())
+        os.close(fd)
+        return True
+    except FileExistsError:
+        mtimes = []
+        for p in (lock_path, *heartbeat_paths):
+            try:
+                mtimes.append(os.path.getmtime(p))
+            except OSError:
+                pass
+        if mtimes and time.time() - max(mtimes) > stale_sec:
+            try:  # steal the stale lock; losers of THIS race loop and retry
+                os.remove(lock_path)
+            except OSError:
+                pass
+        return False
+
+
 def build_packed_cache(
     index: ChexpertIndex,
     cache_dir: str,
@@ -58,6 +98,8 @@ def build_packed_cache(
     workers: int = 8,
     pack_margin: int = 32,
     chunk_rows: int = 512,
+    poll_sec: float = 0.2,
+    stale_sec: float = 120.0,
 ) -> str:
     """Decode+crop the whole index into a uint8 memmap. Returns the path.
 
@@ -68,6 +110,11 @@ def build_packed_cache(
     each chunk the memmap is flushed and a .progress sidecar records the done
     count, so a killed pack resumes from the last complete chunk instead of
     restarting 223k decodes from zero.
+
+    Concurrency-safe: when several processes (multihost on a shared
+    filesystem, or same-host multi-process) request the same unbuilt cache,
+    exactly one acquires the .lock and packs; the others poll until the
+    finished cache validates, then use it.
     """
     os.makedirs(cache_dir, exist_ok=True)
     stored = image_size + (pack_margin if index.mode == "train" else 0)
@@ -76,12 +123,31 @@ def build_packed_cache(
     path = pack_cache_path(cache_dir, index.mode, stored, resize, key)
     meta_path = path + ".json"
     n = len(index)
-    if os.path.exists(path) and os.path.exists(meta_path):
-        meta = json.load(open(meta_path))
-        if (meta["n"] == n and meta["size"] == stored
-                and meta.get("indices") == indices.tolist()):
-            return path
+    if _cache_valid(path, n, stored, indices):
+        return path
 
+    lock_path = path + ".lock"
+    tmp_path, prog_path = path + ".tmp", path + ".progress"
+    while not _acquire_pack_lock(lock_path, (prog_path,), stale_sec):
+        time.sleep(poll_sec)
+        if _cache_valid(path, n, stored, indices):
+            return path
+    try:
+        if _cache_valid(path, n, stored, indices):
+            return path  # finished while we were waiting for the lock
+        return _pack_locked(
+            index, path, meta_path, tmp_path, prog_path, lock_path,
+            n, stored, key, indices, resize, workers, chunk_rows,
+        )
+    finally:
+        try:
+            os.remove(lock_path)
+        except OSError:
+            pass
+
+
+def _pack_locked(index, path, meta_path, tmp_path, prog_path, lock_path,
+                 n, stored, key, indices, resize, workers, chunk_rows) -> str:
     # resume from a previous interrupted pack if its sidecar matches
     tmp_path, prog_path = path + ".tmp", path + ".progress"
     done = 0

@@ -85,10 +85,14 @@ def make_ensemble_eval_step(model, mesh, n_members: int):
 
         # per-shard: local members x local batch rows; no collectives needed
         # (eval uses running BN stats, outputs concatenate over both axes)
+        # check_rep=False: members with Pallas attention run pallas_call
+        # inside the shard (opaque to the replication checker, same as the
+        # kernel's own shard_map wrapper in ops/pallas_attention.py)
         fwd = shard_map(
             vmapped, mesh=mesh,
             in_specs=(P(MODEL_AXIS), P(MODEL_AXIS), P(DATA_AXIS)),
             out_specs=P(MODEL_AXIS, DATA_AXIS),
+            check_rep=False,
         )
     else:
         fwd = vmapped

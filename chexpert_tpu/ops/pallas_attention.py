@@ -190,7 +190,7 @@ def _fwd_kernel(q_ref, r_ref, k_ref, oh_ref, v_ref, o_ref, lse_ref,
 
 def _bwd_kernel(k_ref, oh_ref, v_ref, q_ref, r_ref, do_ref, lse_ref, delta_ref,
                 dq_ref, dr_ref, dk_ref, dv_ref,
-                *, hw: int, tq: int, tk: int, G: int):
+                *, hw: int, hwp: int, tq: int, tk: int, G: int):
     """Fused backward: one S-recompute serves dq, dk, dv, dRW, dRH.
 
     Grid (bn/G, nk): program ki owns key block ki (writes dk/dv) and loops
@@ -200,8 +200,8 @@ def _bwd_kernel(k_ref, oh_ref, v_ref, q_ref, r_ref, do_ref, lse_ref, delta_ref,
     the leading coordinate advances)."""
     ki = pl.program_id(1)
     j0 = ki * tk
-    nq = _cdiv(hw, tq)
-    hwp = _cdiv(hw, tk) * tk
+    nq = _cdiv(hw, tq)  # real-query blocks only; fully-padded query blocks
+    # beyond this keep their zero-init dq/dr rows (sliced away on the host)
 
     @pl.when(ki == 0)
     def _():
@@ -367,7 +367,7 @@ def _flash_bwd_rule(H: int, W: int, res, dout):
 
     grid = (bn // G, hwp // tk)
     dq, dr, dk, dv = pl.pallas_call(
-        functools.partial(_bwd_kernel, hw=hw, tq=tq, tk=tk, G=G),
+        functools.partial(_bwd_kernel, hw=hw, hwp=hwp, tq=tq, tk=tk, G=G),
         grid=grid,
         in_specs=[
             pl.BlockSpec((G, tk, dkh), lambda b, j: (b, j, 0)),

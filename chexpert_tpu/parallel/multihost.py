@@ -15,6 +15,7 @@ run on every host (TPU runtime env vars supply coordinator/process ids).
 
 from __future__ import annotations
 
+import os
 from typing import Optional
 
 import jax
@@ -23,16 +24,56 @@ from jax.sharding import Mesh
 
 from chexpert_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS
 
+# Env signals that a MULTI-process launch is configured (jax's own override
+# vars, plus the TPU-pod / SLURM / OpenMPI cluster detectors that
+# jax.distributed.initialize consults). If one is present, an init failure
+# means a BROKEN pod launch — degrading to single-process would let N
+# independent trainers race on one output_dir behind the primary-only write
+# gating. Single-host values (e.g. TPU_WORKER_HOSTNAMES=localhost on a dev
+# box, SLURM_NTASKS=1) do NOT count.
+_COORDINATOR_ENV_VARS = (
+    "JAX_COORDINATOR_ADDRESS",
+    "COORDINATOR_ADDRESS",
+    "MEGASCALE_COORDINATOR_ADDRESS",
+)
+_NPROC_ENV_VARS = ("JAX_NUM_PROCESSES", "SLURM_NTASKS", "OMPI_COMM_WORLD_SIZE")
+
+
+def cluster_env_configured() -> bool:
+    if any(os.environ.get(v) for v in _COORDINATOR_ENV_VARS):
+        return True
+    hosts = os.environ.get("TPU_WORKER_HOSTNAMES", "")
+    if len([h for h in hosts.split(",") if h.strip()]) > 1:
+        return True
+    for v in _NPROC_ENV_VARS:
+        try:
+            if int(os.environ.get(v, "")) > 1:
+                return True
+        except ValueError:
+            pass
+    return False
+
 
 def initialize(
     coordinator_address: Optional[str] = None,
     num_processes: Optional[int] = None,
     process_id: Optional[int] = None,
 ) -> None:
-    """jax.distributed.initialize with env-var defaults; no-op when already
-    initialized or single-process."""
+    """jax.distributed.initialize with env-var defaults.
+
+    No-op when already initialized, or when nothing in the environment (and
+    no explicit args) configures a cluster — the single-process dev/CI case.
+    When a coordinator IS configured (explicit args or cluster env vars) an
+    init failure RAISES instead of silently degrading to process_count()==1,
+    which would bypass every primary-only gate downstream."""
     if jax.process_count() > 1:
         return  # already initialized by the runtime
+    configured = (
+        coordinator_address is not None
+        or num_processes is not None
+        or process_id is not None
+        or cluster_env_configured()
+    )
     try:
         jax.distributed.initialize(
             coordinator_address=coordinator_address,
@@ -40,7 +81,9 @@ def initialize(
             process_id=process_id,
         )
     except (RuntimeError, ValueError):
-        pass  # single-process / no coordinator configured
+        if configured:
+            raise
+        # single-process: no coordinator configured anywhere
 
 
 def create_hybrid_mesh(data_parallel: int = 0, model_parallel: int = 1) -> Mesh:

@@ -31,6 +31,23 @@ import os
 import shutil
 import sys
 
+# Per-arch throughput floors: ~80% of the recorded steady-state END-TO-END
+# rate on the tunneled v5e dev chip (the tunnel's ~45 MB/s H2D cap binds e2e
+# below the compute-only rate; see README "Known gaps"). A floor this close
+# to reality fails the gate on a ~25% pipeline regression instead of only
+# catastrophic ones (round-2 verdict: a 250 img/s floor let 2-3x slips pass).
+# Archs without a recorded run fall back to --throughput-floor.
+ARCH_THROUGHPUT_FLOORS = {
+    "densenet121": 595.0,  # recorded 745.7 img/s e2e (ACCEPTANCE r2)
+}
+
+
+def arch_throughput_floor(arch: str, explicit: "float | None",
+                          fallback: float = 250.0) -> float:
+    if explicit is not None:
+        return explicit
+    return ARCH_THROUGHPUT_FLOORS.get(arch, fallback)
+
 
 def _mean_auc(metrics: dict) -> float:
     import numpy as np
@@ -63,7 +80,9 @@ def main(argv=None) -> int:
     p.add_argument("--workdir", default="")
     p.add_argument("--auc-floor", type=float, default=None,
                    help="default: 0.95 production, 0.9 tiny")
-    p.add_argument("--throughput-floor", type=float, default=250.0)
+    p.add_argument("--throughput-floor", type=float, default=None,
+                   help="default: the per-arch recorded floor "
+                        "(ARCH_THROUGHPUT_FLOORS), else 250")
     p.add_argument("--fresh", action="store_true", help="rebuild fixture + run dir")
     p.add_argument("--skip-train", action="store_true",
                    help="re-gate an existing run dir (iterating on floors)")
@@ -112,7 +131,8 @@ def main(argv=None) -> int:
             "--compute_dtype", "bfloat16", "--log_interval", "8",
             "--eval_interval", "16", "--packed_cache",
         ]
-        auc_floor, tp_floor = (args.auc_floor if args.auc_floor is not None else 0.95), args.throughput_floor
+        auc_floor = args.auc_floor if args.auc_floor is not None else 0.95
+        tp_floor = arch_throughput_floor(args.arch, args.throughput_floor)
 
     marker = os.path.join(workdir, "fixture.json")
     if not (os.path.exists(marker) and json.load(open(marker)) == fixture):
@@ -166,8 +186,28 @@ def main(argv=None) -> int:
     }
     print(json.dumps(result))
     if args.out:
-        json.dump(result, open(args.out, "w"), indent=2)
+        merge_arch_result(args.out, result)
     return 0 if ok else 1
+
+
+def merge_arch_result(out_path: str, result: dict) -> dict:
+    """One committed artifact accumulates every arch's gate record:
+    {"acceptance": PASS iff all archs pass, "archs": {arch: result}}."""
+    merged = {"archs": {}}
+    if os.path.exists(out_path):
+        try:
+            prev = json.load(open(out_path))
+            if isinstance(prev.get("archs"), dict):
+                merged = prev
+        except (ValueError, OSError):
+            pass
+    merged["archs"][result["arch"]] = result
+    merged["acceptance"] = (
+        "PASS" if all(r.get("acceptance") == "PASS"
+                      for r in merged["archs"].values()) else "FAIL"
+    )
+    json.dump(merged, open(out_path, "w"), indent=2)
+    return merged
 
 
 if __name__ == "__main__":

@@ -28,3 +28,35 @@ def test_acceptance_tiny_gate(tmp_path, capsys):
     out = capsys.readouterr().out
     assert rc == 1, out
     assert '"acceptance": "FAIL"' in out
+
+
+def test_arch_throughput_floor_resolution():
+    """Per-arch floors default to ~80% of the recorded steady-state (round-2
+    verdict: a blanket 250 img/s floor let 2-3x regressions pass); explicit
+    --throughput-floor still wins; unrecorded archs keep the fallback."""
+    import acceptance
+
+    assert acceptance.arch_throughput_floor("densenet121", None) >= 500.0
+    assert acceptance.arch_throughput_floor("densenet121", 100.0) == 100.0
+    assert acceptance.arch_throughput_floor("never-recorded", None) == 250.0
+
+
+def test_acceptance_out_merges_per_arch(tmp_path):
+    """--out accumulates one record per arch; top-level PASS iff all pass."""
+    import json
+
+    import acceptance
+
+    out = str(tmp_path / "ACCEPTANCE.json")
+    json.dump({"archs": {"resnet152": {"acceptance": "PASS", "arch": "resnet152"}}},
+              open(out, "w"))
+    acceptance.merge_arch_result(out, {"acceptance": "FAIL", "arch": "densenet121"})
+    final = json.load(open(out))
+    assert set(final["archs"]) == {"resnet152", "densenet121"}
+    assert final["acceptance"] == "FAIL"
+    acceptance.merge_arch_result(out, {"acceptance": "PASS", "arch": "densenet121"})
+    assert json.load(open(out))["acceptance"] == "PASS"
+    # legacy single-arch schema (pre-r3) is replaced, not corrupted
+    json.dump({"acceptance": "PASS", "arch": "densenet121"}, open(out, "w"))
+    acceptance.merge_arch_result(out, {"acceptance": "PASS", "arch": "resnet152"})
+    assert set(json.load(open(out))["archs"]) == {"resnet152"}

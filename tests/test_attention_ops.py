@@ -200,3 +200,55 @@ def test_vmem_guard_rejects_oversized_geometry():
     rh = jnp.zeros((1, 1, hw, H))
     with pytest.raises(AssertionError, match="VMEM budget"):
         _flash_forward(q, q, v, rw, rh, H, W)
+
+
+def test_attention_pallas_bf16_matches_einsum_bf16():
+    """Training dtype: both paths consume bf16 q/k/v. The kernel computes its
+    compact rel logits in bf16 (documented perf tradeoff) while the einsum
+    path keeps f32 rel logits, so tolerance is bf16-scale — this pins the
+    divergence instead of leaving the training dtype untested."""
+    rng = np.random.RandomState(11)
+    B, nh, H, W, dkh, dvh = 2, 2, 6, 5, 8, 4
+    q = jnp.asarray(rng.randn(B, nh, H * W, dkh), jnp.bfloat16)
+    k = jnp.asarray(rng.randn(B, nh, H * W, dkh), jnp.bfloat16)
+    v = jnp.asarray(rng.randn(B, nh, H * W, dvh), jnp.bfloat16)
+    rel_w = jnp.asarray(rng.randn(dkh, 2 * W - 1), jnp.float32)
+    rel_h = jnp.asarray(rng.randn(dkh, 2 * H - 1), jnp.float32)
+    ref, _ = aa_attention_einsum(q, k, v, rel_w, rel_h, H, W)
+    out = aa_attention_pallas(q, k, v, rel_w, rel_h, H, W)
+    assert out.dtype == jnp.bfloat16
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32), np.asarray(ref, np.float32), atol=5e-2
+    )
+
+
+def test_attention_pallas_tile_override_tk_not_multiple_of_tq(monkeypatch):
+    """CHEXPERT_ATTN_TILES with tk % tq != 0 pads to lcm-style length
+    (_pad_len); the backward must mask the phantom key blocks using the TRUE
+    padded length (regression: it recomputed hwp as cdiv(hw,tk)*tk, leaving
+    all-padding key blocks unmasked during tile sweeps)."""
+    import jax
+
+    monkeypatch.setenv("CHEXPERT_ATTN_TILES", "16,24")
+    rng = np.random.RandomState(12)
+    # hw = 48 divides tk=24 exactly, so the buggy cdiv(hw,tk)*tk == hw == 48
+    # while the true padded length is cdiv(48, 16*24)*16*24 = 384
+    B, nh, H, W, dkh, dvh = 1, 2, 6, 8, 8, 4
+    q = jnp.asarray(rng.randn(B, nh, H * W, dkh), jnp.float32)
+    k = jnp.asarray(rng.randn(B, nh, H * W, dkh), jnp.float32)
+    v = jnp.asarray(rng.randn(B, nh, H * W, dvh), jnp.float32)
+    rel_w = jnp.asarray(rng.randn(dkh, 2 * W - 1), jnp.float32)
+    rel_h = jnp.asarray(rng.randn(dkh, 2 * H - 1), jnp.float32)
+    tgt = jnp.asarray(rng.randn(B, nh, H * W, dvh), jnp.float32)
+
+    def loss(fn):
+        def f(q, k, v, rw, rh):
+            return ((fn(q, k, v, rw, rh) - tgt) ** 2).sum()
+        return jax.grad(f, argnums=(0, 1, 2, 3, 4))
+
+    gp = loss(lambda *a: aa_attention_pallas(*a, H, W))(q, k, v, rel_w, rel_h)
+    monkeypatch.delenv("CHEXPERT_ATTN_TILES")
+    ge = loss(lambda *a: aa_attention_einsum(*a, H, W)[0])(q, k, v, rel_w, rel_h)
+    for name, a, b in zip(["dq", "dk", "dv", "drel_w", "drel_h"], ge, gp):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-4,
+                                   err_msg=name)

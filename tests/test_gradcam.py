@@ -77,3 +77,38 @@ def test_grad_cam_output_contract():
     assert c.min() >= 0.0 and c.max() <= 1.0 + 1e-5
     # maps carry signal (not constant) for at least one image
     assert c.std(axis=(1, 2, 3)).max() > 1e-3
+
+
+def test_capture_attention_weights_chunked_matches_full():
+    """Chunked capture (bounded memory for the vis path — full-batch capture
+    is ~2 GB at 320^2 x 24 images) must reproduce the full-batch weights,
+    including a non-divisible tail chunk."""
+    from chexpert_tpu.interpret.capture import (
+        capture_attention_weights,
+        collect_attn_weights,
+    )
+    from chexpert_tpu.models import build_model
+    from chexpert_tpu.train import init_model as init
+
+    model, _ = build_model("aadensenet-tiny", image_size=32, dtype=jnp.float32)
+    params, stats = init(model, jax.random.PRNGKey(0), (1, 32, 32, 3))
+    variables = {"params": params, "batch_stats": stats}
+    x = jnp.asarray(np.random.RandomState(0).randn(5, 32, 32, 3), jnp.float32)
+
+    _, inter = model.apply(
+        variables, x, train=False, capture_weights=True, mutable=["intermediates"]
+    )
+    full = collect_attn_weights(inter["intermediates"])
+    assert full, "tiny AA model must sow attention weights"
+
+    chunked = capture_attention_weights(model, variables, x, chunk=2)
+    assert len(chunked) == len(full)
+    for a, b in zip(chunked, full):
+        assert a.shape == b.shape
+        np.testing.assert_allclose(a, b, atol=1e-5)
+
+    # plain CNN: no attention layers -> empty, not an error
+    from chexpert_tpu.models import build_model as bm
+    plain, _ = bm("densenet-tiny", image_size=32, dtype=jnp.float32)
+    p2, s2 = init(plain, jax.random.PRNGKey(0), (1, 32, 32, 3))
+    assert capture_attention_weights(plain, {"params": p2, "batch_stats": s2}, x) == []

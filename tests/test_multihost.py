@@ -25,6 +25,41 @@ def test_initialize_single_process_noop():
     assert jax.process_count() == 1
 
 
+def test_initialize_raises_when_cluster_configured(monkeypatch):
+    """A failed jax.distributed init must RAISE (not degrade to
+    single-process) when coordinator env vars show a pod launch was
+    intended — otherwise N trainers race on one output_dir behind the
+    bypassed primary-only gating (advisor r2, cli/chexpert.py:277)."""
+    import chexpert_tpu.parallel.multihost as mh
+
+    def boom(**kwargs):
+        raise RuntimeError("coordinator unreachable")
+
+    monkeypatch.setattr(jax.distributed, "initialize", boom)
+    # no cluster env, no explicit args -> swallowed (dev/CI single process)
+    for v in mh._COORDINATOR_ENV_VARS + mh._NPROC_ENV_VARS:
+        monkeypatch.delenv(v, raising=False)
+    # single-host values must not count as a cluster (axon dev box sets
+    # TPU_WORKER_HOSTNAMES=localhost)
+    monkeypatch.setenv("TPU_WORKER_HOSTNAMES", "localhost")
+    monkeypatch.setenv("SLURM_NTASKS", "1")
+    initialize()
+    # multi-host values DO count
+    monkeypatch.setenv("TPU_WORKER_HOSTNAMES", "host0,host1")
+    with pytest.raises(RuntimeError, match="coordinator unreachable"):
+        initialize()
+    monkeypatch.setenv("TPU_WORKER_HOSTNAMES", "localhost")
+    # cluster env present -> must propagate
+    monkeypatch.setenv("JAX_COORDINATOR_ADDRESS", "localhost:1234")
+    with pytest.raises(RuntimeError, match="coordinator unreachable"):
+        initialize()
+    monkeypatch.delenv("JAX_COORDINATOR_ADDRESS")
+    # explicit args -> must propagate
+    with pytest.raises(RuntimeError, match="coordinator unreachable"):
+        initialize(coordinator_address="localhost:1234", num_processes=2,
+                   process_id=0)
+
+
 def test_hybrid_mesh_single_process():
     mesh = create_hybrid_mesh(4, 2)
     assert dict(mesh.shape) == {"data": 4, "model": 2}
