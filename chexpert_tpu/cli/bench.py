@@ -376,11 +376,10 @@ def main(argv=None) -> int:
         x = xte[:8]
         xb = jnp.asarray(normalize(x))
         variables = {"params": state.params, "batch_stats": state.batch_stats}
-        _, inter = model.apply(variables, xb, train=False, capture_weights=True,
-                               mutable=["intermediates"])
-        from chexpert_tpu.cli.chexpert import _collect_attn_weights
+        # chunked capture: bounded memory (interpret/capture.py)
+        from chexpert_tpu.interpret.capture import capture_attention_weights
 
-        weights = _collect_attn_weights(inter["intermediates"])
+        weights = capture_attention_weights(model, variables, xb)
         os.makedirs(os.path.join(args.output_dir, "vis"), exist_ok=True)
         for i in range(len(x)):
             save_attn_maps(x.astype(np.float32) / 255.0, weights,

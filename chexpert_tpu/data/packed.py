@@ -269,10 +269,16 @@ class PackedBatches:
                 tops = brng.randint(0, stored - s + 1, bs)[lo : lo + batch_n]
                 lefts = brng.randint(0, stored - s + 1, bs)[lo : lo + batch_n]
                 flips = (brng.rand(bs) < 0.5)[lo : lo + batch_n]
-                img = np.empty((batch_n, s, s), np.uint8)
-                for i in range(batch_n):
-                    c = raw[i, tops[i] : tops[i] + s, lefts[i] : lefts[i] + s]
-                    img[i] = c[:, ::-1] if flips[i] else c
+                # vectorized batched crop: a zero-copy sliding-window view,
+                # then ONE fancy-index gather for all crops (the previous
+                # per-image Python loop was the measured ~25% input-side tax
+                # of --data_aug, VERDICT r2 task 4)
+                win = np.lib.stride_tricks.sliding_window_view(
+                    raw, (s, s), axis=(1, 2)
+                )
+                img = win[np.arange(batch_n), tops, lefts]
+                if flips.any():
+                    img[flips] = img[flips, :, ::-1]
             else:
                 off = (stored - s) // 2
                 img = raw[:, off : off + s, off : off + s]

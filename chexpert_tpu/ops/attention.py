@@ -26,6 +26,7 @@ rel_w of (dkh, 2W-1); rel_h of (dkh, 2H-1). q is pre-scaled by dkh**-0.5.
 
 from __future__ import annotations
 
+import os
 from typing import Optional, Tuple
 
 import jax
@@ -77,6 +78,41 @@ def relative_logits_compact(
     rh = jnp.einsum("bnhwd,dhm->bnhwm", q2d, rel_h_abs)
     rh = rh.reshape(B, nh, H * W, H)  # last dim = rj
     return rw, rh
+
+
+def relative_logits_compact_v2(
+    q2d: jnp.ndarray, rel_w: jnp.ndarray, rel_h: jnp.ndarray
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Compact rel logits, transpose-free formulation (same math as
+    relative_logits_compact — pinned by test_relative_logits_compact_v2).
+
+    The diagonal-gather einsum "bnhwd,dwm->bnhwm" batches over w, which
+    forces XLA to materialize w-major layout copies of q and of the output
+    on TPU (profiled at ~15 ms/step across aaresnet152's 47 attention
+    layers). Here the contraction is a PLAIN minor-dim matmul
+    U = q . rel (no batch dims, natural layouts on both sides) followed by
+    a skew of the tiny last axis: rel_to_abs for the width side (the skewed
+    dims are adjacent) and a broadcast take_along_axis for the height side
+    (the skew index lives on a non-adjacent dim)."""
+    B, nh, H, W, dkh = q2d.shape
+    uw = jnp.einsum("bnhwd,dr->bnhwr", q2d, rel_w)  # (B,nh,H,W,2W-1)
+    rw = rel_to_abs(uw)  # (..., W, W): rw[..., w, m] = uw[..., w, m-w+W-1]
+    if os.environ.get("CHEXPERT_REL_V2_GATHER", "0") == "1":
+        uh = jnp.einsum("bnhwd,dr->bnhwr", q2d, rel_h)  # (B,nh,H,W,2H-1)
+        # rh[..., h, w, m] = uh[..., h, w, m - h + H - 1]
+        ih = jnp.arange(H)
+        idx = ih[None, :] - ih[:, None] + H - 1  # (h, m)
+        rh = jnp.take_along_axis(uh, idx[None, None, :, None, :], axis=-1)
+        rh = rh.reshape(B, nh, H * W, H)
+    else:
+        # height side keeps the diagonal-gather einsum (the broadcast
+        # take_along_axis gather measured SLOWER on-chip than the batched
+        # dot's layout copies: 107 vs 131 img/s on the aaresnet152 step)
+        ih = jnp.arange(H)
+        rel_h_abs = rel_h[:, ih[None, :] - ih[:, None] + H - 1]
+        rh = jnp.einsum("bnhwd,dhm->bnhwm", q2d, rel_h_abs)
+        rh = rh.reshape(B, nh, H * W, H)
+    return rw.reshape(B, nh, H * W, W), rh
 
 
 def relative_logits(

@@ -94,24 +94,30 @@ def _pick_tiles(hw: int) -> Tuple[int, int]:
     return best
 
 
-def _pick_group(bn: int, hw: int) -> int:
+def _pick_group(bn: int, hw: int, est_bytes=None) -> int:
     """(batch*head) slices per program. At small HW the per-program work is
     a few microseconds of MXU time, so the fixed per-program cost (grid
     step, DMA issue) dominates — batching G heads into one program amortizes
     it (measured 43->10 ms for aaresnet152's 36 layer-3 blocks, HW=400). At
-    large HW one (b, h) is already enough work."""
+    large HW one (b, h) is already enough work.
+
+    est_bytes(G) -> estimated backward VMEM residents: the largest G whose
+    estimate fits the scoped budget wins (bf16 models fit G=8 at HW=400
+    since the round-3 layout work; f32 models — the CPU test tier — need
+    smaller G)."""
     override = os.environ.get("CHEXPERT_ATTN_GROUP")
     if override:
         g = int(override)
         return g if g > 0 and bn % g == 0 else 1
     if hw > 512:
         return 1
-    # G=8 at HW=400 exceeds the 16 MB scoped-VMEM budget in the backward
-    # (resident dq/dr blocks + per-head lane padding); G=4 fits
-    for g in (4, 2):
-        if bn % g == 0:
+    for g in (8, 4, 2):
+        if bn % g == 0 and (est_bytes is None or est_bytes(g) < _VMEM_BUDGET):
             return g
     return 1
+
+
+_VMEM_BUDGET = 14 * 1024 * 1024
 
 
 def _pad_len(hw: int, tq: int, tk: int) -> int:
@@ -145,11 +151,23 @@ def _dot_nn(a, b, dtype=jnp.float32):
 
 
 def _fwd_kernel(q_ref, r_ref, k_ref, oh_ref, v_ref, o_ref, lse_ref,
-                *, hw: int, tq: int, tk: int, G: int):
+                *, hw: int, tq: int, tk: int, G: int, dv1: bool):
     """Online softmax over statically-unrolled key blocks (nk is tiny for
     every AAConv geometry): block 0 initializes the running stats directly —
     no NEG_INF/alpha rescale chain — and the padding mask is emitted only
-    for the one tail block that actually has padded keys."""
+    for the one tail block that actually has padded keys.
+
+    Singleton-minor arrays (lse always; out/v with dv1) are laid out as
+    (bn, n_blocks, tile) ROWS instead of (bn, hw, 1) columns: a (.., 1)
+    minor dim tile-pads to 128 lanes in HBM (T(8,128)) — 128x the bytes and
+    DMA — while the row form pads only tile->tile_lanes. Blocks for these
+    refs are full-array (legal regardless of tile size) and the kernel
+    indexes the block row by (dynamic) sublane, which Mosaic allows.
+
+    dv1 (dvh == 1, aaresnet152's layer-2 — the zoo's hottest geometry):
+    P.v runs as a VPU multiply+lane-reduce instead of an N=1 MXU dot that
+    idles 127/128 result lanes."""
+    qi = pl.program_id(1)
     nk = _cdiv(hw, tk)
     for g in range(G):
         # pack Q' = [q ; RW ; RH] in VMEM: the s tile becomes ONE MXU pass
@@ -162,7 +180,6 @@ def _fwd_kernel(q_ref, r_ref, k_ref, oh_ref, v_ref, o_ref, lse_ref,
             kab = jnp.concatenate(
                 [k_ref[g, pl.ds(j0, tk), :], oh_ref[pl.ds(j0, tk), :]], axis=-1
             )
-            vb = v_ref[g, pl.ds(j0, tk), :]
 
             # q.k + rel_w + rel_h in one MXU pass
             s = _dot_nt(qa, kab)  # (tq, tk) f32
@@ -175,29 +192,44 @@ def _fwd_kernel(q_ref, r_ref, k_ref, oh_ref, v_ref, o_ref, lse_ref,
                 m = bm
                 p = jnp.exp(s - m)
                 l = p.sum(axis=-1, keepdims=True)
-                acc = _dot_nn(p.astype(vb.dtype), vb)
+                alpha = None
             else:
                 m_new = jnp.maximum(m, bm)
                 alpha = jnp.exp(m - m_new)
                 p = jnp.exp(s - m_new)
                 l = l * alpha + p.sum(axis=-1, keepdims=True)
-                acc = acc * alpha + _dot_nn(p.astype(vb.dtype), vb)
                 m = m_new
+            if dv1:
+                vb_row = v_ref[g, pl.ds(j * 8, 1), :]  # (1, tk) row layout
+                pv = (p * vb_row.astype(jnp.float32)).sum(axis=-1, keepdims=True)
+            else:
+                vb = v_ref[g, pl.ds(j0, tk), :]
+                pv = _dot_nn(p.astype(vb.dtype), vb)
+            acc = pv if acc is None else acc * alpha + pv
 
-        o_ref[g] = (acc / l).astype(o_ref.dtype)
-        lse_ref[g] = (m + jnp.log(l)).astype(jnp.float32)
+        if dv1:
+            o_ref[g, pl.ds(qi * 8, 1), :] = (acc / l).reshape(1, tq).astype(o_ref.dtype)
+        else:
+            o_ref[g] = (acc / l).astype(o_ref.dtype)
+        lse_ref[g, pl.ds(qi * 8, 1), :] = (
+            (m + jnp.log(l)).astype(jnp.float32).reshape(1, tq)
+        )
 
 
 def _bwd_kernel(k_ref, oh_ref, v_ref, q_ref, r_ref, do_ref, lse_ref, delta_ref,
                 dq_ref, dr_ref, dk_ref, dv_ref,
-                *, hw: int, hwp: int, tq: int, tk: int, G: int):
+                *, hw: int, hwp: int, tq: int, tk: int, G: int, dv1: bool):
     """Fused backward: one S-recompute serves dq, dk, dv, dRW, dRH.
 
     Grid (bn/G, nk): program ki owns key block ki (writes dk/dv) and loops
     over query blocks, ACCUMULATING dq/dr into output blocks whose index map
     is constant in ki — the TPU grid runs sequentially, so the blocks stay
     resident in VMEM across the ki sweep (zeroed at ki == 0, flushed when
-    the leading coordinate advances)."""
+    the leading coordinate advances).
+
+    lse/delta stream as (nq, tq) row blocks (128x less HBM than tile-padded
+    (hw, 1) columns); with dv1, v/dout/dv do too, and the N=1 MXU dots
+    (dv, dp) become VPU broadcast-multiply/reduces."""
     ki = pl.program_id(1)
     j0 = ki * tk
     nq = _cdiv(hw, tq)  # real-query blocks only; fully-padded query blocks
@@ -213,7 +245,10 @@ def _bwd_kernel(k_ref, oh_ref, v_ref, q_ref, r_ref, do_ref, lse_ref, delta_ref,
         # K' = [k ; onehots] packed once per program in VMEM, reused across
         # the query sweep: s recompute and dQ' are one MXU pass each
         kab = jnp.concatenate([k_ref[g], oh_ref[...]], axis=-1)  # (tk, dkh+W+H)
-        vb = v_ref[g]   # (tk, dvh)
+        if dv1:
+            vb_row = v_ref[g, pl.ds(ki * 8, 1), :].astype(jnp.float32)  # (1, tk)
+        else:
+            vb = v_ref[g]  # (tk, dvh)
 
         def body(i, carry):
             dk, dv = carry
@@ -221,9 +256,8 @@ def _bwd_kernel(k_ref, oh_ref, v_ref, q_ref, r_ref, do_ref, lse_ref, delta_ref,
             qa = jnp.concatenate(
                 [q_ref[g, pl.ds(i0, tq), :], r_ref[g, pl.ds(i0, tq), :]], axis=-1
             )
-            do = do_ref[g, pl.ds(i0, tq), :]
-            lse = lse_ref[g, pl.ds(i0, tq), :]
-            delta = delta_ref[g, pl.ds(i0, tq), :]
+            lse = lse_ref[g, pl.ds(i * 8, 1), :].reshape(tq, 1)
+            delta = delta_ref[g, pl.ds(i * 8, 1), :].reshape(tq, 1)
 
             s = _dot_nt(qa, kab)
             if hwp > hw:  # static: padded keys exist only in the tail block
@@ -231,24 +265,34 @@ def _bwd_kernel(k_ref, oh_ref, v_ref, q_ref, r_ref, do_ref, lse_ref, delta_ref,
                 s = jnp.where(t_ids < hw, s, NEG_INF)
             p = jnp.exp(s - lse)  # (tq, tk)
 
-            dv = dv + jax.lax.dot_general(
-                p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
-            dp = _dot_nt(do, vb)
+            if dv1:
+                do_col = do_ref[g, pl.ds(i * 8, 1), :].astype(jnp.float32).reshape(tq, 1)
+                dv = dv + (p * do_col).sum(axis=0, keepdims=True)  # (1, tk)
+                dp = do_col * vb_row  # rank-1 outer product on the VPU
+            else:
+                do = do_ref[g, pl.ds(i0, tq), :]
+                dv = dv + jax.lax.dot_general(
+                    p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                dp = _dot_nt(do, vb)
             ds = (p * (dp - delta)).astype(qa.dtype)
             dk = dk + jax.lax.dot_general(
                 ds, qa[:, :dkh], (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)
             dqa = _dot_nn(ds, kab)  # [dq ; dRW ; dRH] in one pass
-            dq_ref[g, pl.ds(i0, tq), :] += dqa[:, :dkh]
-            dr_ref[g, pl.ds(i0, tq), :] += dqa[:, dkh:]
+            dq_ref[g, pl.ds(i0, tq), :] += dqa[:, :dkh].astype(dq_ref.dtype)
+            dr_ref[g, pl.ds(i0, tq), :] += dqa[:, dkh:].astype(dr_ref.dtype)
             return dk, dv
 
         dk0 = jnp.zeros((tk, dkh), jnp.float32)
-        dv0 = jnp.zeros((tk, vb.shape[-1]), jnp.float32)
+        dv0 = (jnp.zeros((1, tk), jnp.float32) if dv1
+               else jnp.zeros((tk, v_ref.shape[-1]), jnp.float32))
         dk, dv = jax.lax.fori_loop(0, nq, body, (dk0, dv0))
         dk_ref[g] = dk.astype(dk_ref.dtype)
-        dv_ref[g] = dv.astype(dv_ref.dtype)
+        if dv1:
+            dv_ref[g, pl.ds(ki * 8, 1), :] = dv.astype(dv_ref.dtype)
+        else:
+            dv_ref[g] = dv.astype(dv_ref.dtype)
 
 
 # ---------------------------------------------------------------------------
@@ -264,11 +308,54 @@ def _onehot_pos(hw: int, H: int, W: int, dtype) -> jnp.ndarray:
     return jnp.concatenate([oh_c, oh_r], axis=-1)
 
 
-def _geometry(hw: int, bn: int):
+def _bwd_bytes_est(hwp, tq, tk, G, dkh, dvh, wh, it, dv1):
+    """Estimated backward per-program VMEM residents (the binding
+    constraint): G (b,h)'s full-length q/r (+ dout unless row-layout)
+    inputs, the dq/dr accumulation blocks, and the s/p/ds tiles. Lanes pad
+    to 128 on-chip; 1.5x covers double-buffering/temps (calibrated round 2:
+    compiler reported 17.2 MB where the raw estimate gave 10.9)."""
+    def lanes(d):
+        return _cdiv(d, 128) * 128
+
+    raw = G * hwp * (
+        lanes(dkh) * it      # q resident
+        + lanes(wh) * it     # r resident
+        + (0 if dv1 else lanes(dvh) * it)  # dout resident (row form if dv1)
+        + lanes(dkh) * it    # dq accumulator (kernel dtype)
+        + lanes(wh) * it     # dr accumulator (kernel dtype)
+    ) + 3 * tq * tk * 4      # s / p / ds tiles
+    return int(raw * 1.5)
+
+
+def _geometry(hw: int, bn: int, dkh: int, dvh: int, wh: int, it: int):
     tq, tk = _pick_tiles(hw)
     hwp = _pad_len(hw, tq, tk)
-    G = _pick_group(bn, hw)
+    dv1 = dvh == 1
+    G = _pick_group(bn, hw, lambda g: _bwd_bytes_est(
+        hwp, tq, tk, g, dkh, dvh, wh, it, dv1))
     return tq, tk, hwp, G
+
+
+ROW_SUB = 8  # sublane stride between row blocks: dynamic sublane indices
+# inside the kernel must be STATICALLY provably aligned (Mosaic rejects
+# ds(qi, 1) on packed bf16: "cannot prove index is a multiple of 4");
+# ds(qi * 8, 1) is provable for every dtype. Costs 8x on tiny arrays —
+# still ~16x smaller than the 128x lane padding of a (hw, 1) column.
+
+
+def _rows(x_flat: jnp.ndarray, hwp: int, tile: int) -> jnp.ndarray:
+    """(bn, hw) token vector -> (bn, (hwp//tile)*ROW_SUB, tile) row blocks,
+    block i's data on sublane row i*ROW_SUB."""
+    bn = x_flat.shape[0]
+    n = hwp // tile
+    x = _pad_axis(x_flat.reshape(bn, -1), 1, hwp).reshape(bn, n, 1, tile)
+    return _pad_axis(x, 2, ROW_SUB).reshape(bn, n * ROW_SUB, tile)
+
+
+def _unrows(y: jnp.ndarray, hwp: int) -> jnp.ndarray:
+    """Inverse of _rows: -> (bn, hwp)."""
+    bn, nr, tile = y.shape
+    return y.reshape(bn, nr // ROW_SUB, ROW_SUB, tile)[:, :, 0].reshape(bn, hwp)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
@@ -280,31 +367,17 @@ def _flash_attention(q, k, v, rw, rh, H: int, W: int):
 def _flash_forward(q, k, v, rw, rh, H: int, W: int):
     B, nh, hw, dkh = q.shape
     dvh = v.shape[-1]
+    dv1 = dvh == 1
     wh = W + H
     bn = B * nh
-    tq, tk, hwp, G = _geometry(hw, bn)
-    # VMEM budget check (16 MB scoped/core): the BACKWARD is the binding
-    # constraint — per program it keeps G (b,h)'s full-length q/r/do/lse/
-    # delta inputs AND the f32 dq/dr accumulation blocks resident (plus the
-    # s/p/ds tiles). Lanes pad to 128 on-chip. Without this check oversized
-    # geometries die in the compiler with an opaque scoped-vmem error.
-    def lanes(d):
-        return _cdiv(d, 128) * 128
-
     it = q.dtype.itemsize
-    bwd_bytes = G * hwp * (
-        lanes(dkh) * it      # q resident
-        + lanes(wh) * it     # r resident
-        + lanes(dvh) * it    # dout resident
-        + 2 * 128 * 4        # lse + delta (f32)
-        + lanes(dkh) * 4     # dq accumulator (f32)
-        + lanes(wh) * 4      # dr accumulator (f32)
-    ) + 3 * tq * tk * 4      # s / p / ds tiles
-    bwd_bytes = int(bwd_bytes * 1.5)  # double-buffering / temp margin
-    # (calibrated: the compiler reported 17.2 MB at hw=400 G=8 where the raw
-    # estimate gives 10.9 MB; the 1.5x margin flags that config while the
-    # production geometries stay under budget)
-    assert bwd_bytes < 14 * 1024 * 1024, (
+    tq, tk, hwp, G = _geometry(hw, bn, dkh, dvh, wh, it)
+    nq, nk = hwp // tq, hwp // tk
+    # VMEM budget check (16 MB scoped/core): _pick_group already shrinks G
+    # to fit; geometries that cannot fit even at G=1 must fail HERE with a
+    # clear message instead of an opaque scoped-vmem compiler error.
+    bwd_bytes = _bwd_bytes_est(hwp, tq, tk, G, dkh, dvh, wh, it, dv1)
+    assert bwd_bytes < _VMEM_BUDGET, (
         f"attention backward residents of {bwd_bytes/1e6:.1f} MB per program "
         f"exceed the VMEM budget at HW={hw} (G={G}) — this kernel targets "
         "the AAConv geometries (post-stride HW <= ~2k); stream query blocks "
@@ -318,80 +391,118 @@ def _flash_forward(q, k, v, rw, rh, H: int, W: int):
     def flat(x, d):
         return _pad_axis(x.reshape(bn, hw, d), 1, hwp)
 
-    qf, kf, rf, vf = flat(q, dkh), flat(k, dkh), flat(r, wh), flat(v, dvh)
+    qf, kf, rf = flat(q, dkh), flat(k, dkh), flat(r, wh)
+    if dv1:
+        # row-block layout (bn, nk, tk): same linearization as (bn, hw, 1),
+        # but the tiled HBM footprint drops ~128x (no 1->128 lane padding)
+        vf = _rows(v.reshape(bn, hw), hwp, tk)
+        v_spec = pl.BlockSpec((G, nk * ROW_SUB, tk), lambda b, i: (b, 0, 0))
+        o_spec = pl.BlockSpec((G, nq * ROW_SUB, tq), lambda b, i: (b, 0, 0))
+        o_shape = jax.ShapeDtypeStruct((bn, nq * ROW_SUB, tq), q.dtype)
+    else:
+        vf = flat(v, dvh)
+        v_spec = pl.BlockSpec((G, hwp, dvh), lambda b, i: (b, 0, 0))
+        o_spec = pl.BlockSpec((G, tq, dvh), lambda b, i: (b, i, 0))
+        o_shape = jax.ShapeDtypeStruct((bn, hwp, dvh), q.dtype)
 
-    grid = (bn // G, hwp // tq)
+    grid = (bn // G, nq)
     out, lse = pl.pallas_call(
-        functools.partial(_fwd_kernel, hw=hw, tq=tq, tk=tk, G=G),
+        functools.partial(_fwd_kernel, hw=hw, tq=tq, tk=tk, G=G, dv1=dv1),
         grid=grid,
         in_specs=[
             pl.BlockSpec((G, tq, dkh), lambda b, i: (b, i, 0)),
             pl.BlockSpec((G, tq, wh), lambda b, i: (b, i, 0)),
             pl.BlockSpec((G, hwp, dkh), lambda b, i: (b, 0, 0)),
             pl.BlockSpec((hwp, wh), lambda b, i: (0, 0)),
-            pl.BlockSpec((G, hwp, dvh), lambda b, i: (b, 0, 0)),
+            v_spec,
         ],
         out_specs=[
-            pl.BlockSpec((G, tq, dvh), lambda b, i: (b, i, 0)),
-            pl.BlockSpec((G, tq, 1), lambda b, i: (b, i, 0)),
+            o_spec,
+            pl.BlockSpec((G, nq * ROW_SUB, tq), lambda b, i: (b, 0, 0)),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((bn, hwp, dvh), q.dtype),
-            jax.ShapeDtypeStruct((bn, hwp, 1), jnp.float32),
+            o_shape,
+            jax.ShapeDtypeStruct((bn, nq * ROW_SUB, tq), jnp.float32),
         ],
         interpret=_interpret(),
     )(qf, rf, kf, oh, vf)
-    return out[:, :hw].reshape(B, nh, hw, dvh), (qf, kf, rf, vf, oh, lse)
+    if dv1:
+        out4 = _unrows(out, hwp)[:, :hw].reshape(B, nh, hw, 1)
+    else:
+        out4 = out[:, :hw].reshape(B, nh, hw, dvh)
+    return out4, (qf, kf, rf, vf, oh, lse, out)
 
 
 def _flash_fwd_rule(q, k, v, rw, rh, H: int, W: int):
-    out, (qf, kf, rf, vf, oh, lse) = _flash_forward(q, k, v, rw, rh, H, W)
+    out4, (qf, kf, rf, vf, oh, lse, outp) = _flash_forward(q, k, v, rw, rh, H, W)
     # zero-size dtype/shape witnesses (residuals must be arrays)
     wit = tuple(jnp.zeros((0,) + x.shape, x.dtype) for x in (q, k, v, rw, rh))
-    return out, (qf, kf, rf, vf, oh, lse, out, wit)
+    return out4, (qf, kf, rf, vf, oh, lse, outp, wit)
 
 
 def _flash_bwd_rule(H: int, W: int, res, dout):
-    qf, kf, rf, vf, oh, lse, out, wit = res
+    qf, kf, rf, vf, oh, lse, outp, wit = res
     qw, kw, vw, rww, rhw = wit
     qdt, kdt, vdt, rwdt, rhdt = (x.dtype for x in wit)
     B, nh, hw, dkh = qw.shape[1:]
-    dvh = vf.shape[-1]
+    dvh = vw.shape[-1]
+    dv1 = dvh == 1
     wh = W + H
     bn = B * nh
-    tq, tk, hwp, G = _geometry(hw, bn)
+    tq, tk, hwp, G = _geometry(hw, bn, dkh, dvh, wh, qf.dtype.itemsize)
+    nq, nk = hwp // tq, hwp // tk
 
-    delta = jnp.sum(dout.astype(jnp.float32) * out.astype(jnp.float32), axis=-1)
-    dof = _pad_axis(dout.reshape(bn, hw, dvh), 1, hwp)
-    deltaf = _pad_axis(delta.reshape(bn, hw, 1), 1, hwp)
+    if dv1:
+        dof = _rows(dout.reshape(bn, hw), hwp, tq)
+        # delta = dout * out elementwise (dvh == 1); outp is already rows
+        deltaf = dof.astype(jnp.float32) * outp.astype(jnp.float32)
+        do_spec = pl.BlockSpec((G, nq * ROW_SUB, tq), lambda b, j: (b, 0, 0))
+        v_spec = pl.BlockSpec((G, nk * ROW_SUB, tk), lambda b, j: (b, 0, 0))
+        dv_spec = pl.BlockSpec((G, nk * ROW_SUB, tk), lambda b, j: (b, 0, 0))
+        dv_shape = jax.ShapeDtypeStruct((bn, nk * ROW_SUB, tk), vf.dtype)
+    else:
+        delta = jnp.sum(
+            dout.astype(jnp.float32)
+            * outp[:, :hw].reshape(B, nh, hw, dvh).astype(jnp.float32),
+            axis=-1,
+        )
+        deltaf = _rows(delta.reshape(bn, hw), hwp, tq)
+        dof = _pad_axis(dout.reshape(bn, hw, dvh), 1, hwp)
+        do_spec = pl.BlockSpec((G, hwp, dvh), lambda b, j: (b, 0, 0))
+        v_spec = pl.BlockSpec((G, tk, dvh), lambda b, j: (b, j, 0))
+        dv_spec = pl.BlockSpec((G, tk, dvh), lambda b, j: (b, j, 0))
+        dv_shape = jax.ShapeDtypeStruct((bn, hwp, dvh), vf.dtype)
 
-    grid = (bn // G, hwp // tk)
+    grid = (bn // G, nk)
     dq, dr, dk, dv = pl.pallas_call(
-        functools.partial(_bwd_kernel, hw=hw, hwp=hwp, tq=tq, tk=tk, G=G),
+        functools.partial(_bwd_kernel, hw=hw, hwp=hwp, tq=tq, tk=tk, G=G,
+                          dv1=dv1),
         grid=grid,
         in_specs=[
             pl.BlockSpec((G, tk, dkh), lambda b, j: (b, j, 0)),
             pl.BlockSpec((tk, wh), lambda b, j: (j, 0)),
-            pl.BlockSpec((G, tk, dvh), lambda b, j: (b, j, 0)),
+            v_spec,
             pl.BlockSpec((G, hwp, dkh), lambda b, j: (b, 0, 0)),
             pl.BlockSpec((G, hwp, wh), lambda b, j: (b, 0, 0)),
-            pl.BlockSpec((G, hwp, dvh), lambda b, j: (b, 0, 0)),
-            pl.BlockSpec((G, hwp, 1), lambda b, j: (b, 0, 0)),
-            pl.BlockSpec((G, hwp, 1), lambda b, j: (b, 0, 0)),
+            do_spec,
+            pl.BlockSpec((G, nq * ROW_SUB, tq), lambda b, j: (b, 0, 0)),
+            pl.BlockSpec((G, nq * ROW_SUB, tq), lambda b, j: (b, 0, 0)),
         ],
         out_specs=[
             pl.BlockSpec((G, hwp, dkh), lambda b, j: (b, 0, 0)),
             pl.BlockSpec((G, hwp, wh), lambda b, j: (b, 0, 0)),
             pl.BlockSpec((G, tk, dkh), lambda b, j: (b, j, 0)),
-            pl.BlockSpec((G, tk, dvh), lambda b, j: (b, j, 0)),
+            dv_spec,
         ],
         out_shape=[
-            # dq/dr are += accumulation buffers across the ki sweep: f32.
+            # dq/dr accumulate across <= nk visits in the KERNEL dtype: bf16
+            # halves their HBM traffic and kills the XLA-side converts (the
+            # accumulation depth is nk <= 4, so the rounding cost is ~1 ulp).
             # dk/dv are written once from f32 VMEM carries: emit kernel dtype
-            jax.ShapeDtypeStruct((bn, hwp, dkh), jnp.float32),
-            jax.ShapeDtypeStruct((bn, hwp, wh), jnp.float32),
+            jax.ShapeDtypeStruct((bn, hwp, dkh), qf.dtype),
+            jax.ShapeDtypeStruct((bn, hwp, wh), qf.dtype),
             jax.ShapeDtypeStruct((bn, hwp, dkh), kf.dtype),
-            jax.ShapeDtypeStruct((bn, hwp, dvh), vf.dtype),
+            dv_shape,
         ],
         interpret=_interpret(),
     )(kf, oh, vf, qf, rf, dof, lse, deltaf)
@@ -399,10 +510,12 @@ def _flash_bwd_rule(H: int, W: int, res, dout):
     def unflat(x, d, dt):
         return x[:, :hw].reshape(B, nh, hw, d).astype(dt)
 
+    dv4 = (_unrows(dv, hwp)[:, :hw].reshape(B, nh, hw, 1).astype(vdt) if dv1
+           else unflat(dv, dvh, vdt))
     return (
         unflat(dq, dkh, qdt),
         unflat(dk, dkh, kdt),
-        unflat(dv, dvh, vdt),
+        dv4,
         unflat(dr[..., :W], W, rwdt),
         unflat(dr[..., W:], H, rhdt),
     )

@@ -252,3 +252,85 @@ def test_attention_pallas_tile_override_tk_not_multiple_of_tq(monkeypatch):
     for name, a, b in zip(["dq", "dk", "dv", "drel_w", "drel_h"], ge, gp):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-4,
                                    err_msg=name)
+
+
+def test_attention_pallas_rw_fast_path():
+    """Geometry with tk % W == 0 exercises the VPU width-broadcast fast path
+    (pltpu.repeat + segment-sum dRW) rather than the one-hot fallback —
+    outputs and all gradients must match einsum."""
+    import jax
+
+    from chexpert_tpu.ops import pallas_attention as pa
+
+    rng = np.random.RandomState(13)
+    B, nh, H, W, dkh, dvh = 2, 2, 4, 8, 8, 4  # hw=32 -> tiles (32,32); 32%8==0
+    tq, tk = pa._pick_tiles(H * W)
+    assert tk % W == 0, "geometry must hit the fast path"
+    q = jnp.asarray(rng.randn(B, nh, H * W, dkh), jnp.float32)
+    k = jnp.asarray(rng.randn(B, nh, H * W, dkh), jnp.float32)
+    v = jnp.asarray(rng.randn(B, nh, H * W, dvh), jnp.float32)
+    rel_w = jnp.asarray(rng.randn(dkh, 2 * W - 1), jnp.float32)
+    rel_h = jnp.asarray(rng.randn(dkh, 2 * H - 1), jnp.float32)
+    tgt = jnp.asarray(rng.randn(B, nh, H * W, dvh), jnp.float32)
+
+    ref, _ = aa_attention_einsum(q, k, v, rel_w, rel_h, H, W)
+    out = aa_attention_pallas(q, k, v, rel_w, rel_h, H, W)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-4)
+
+    def loss(fn):
+        def f(q, k, v, rw, rh):
+            return ((fn(q, k, v, rw, rh) - tgt) ** 2).sum()
+        return jax.grad(f, argnums=(0, 1, 2, 3, 4))
+
+    ge = loss(lambda *a: aa_attention_einsum(*a, H, W)[0])(q, k, v, rel_w, rel_h)
+    gp = loss(lambda *a: aa_attention_pallas(*a, H, W))(q, k, v, rel_w, rel_h)
+    for name, a, b in zip(["dq", "dk", "dv", "drel_w", "drel_h"], ge, gp):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-4,
+                                   err_msg=name)
+
+
+def test_attention_pallas_dvh1_matches_einsum():
+    """dvh == 1 (aaresnet152 layer-2): the kernel's row-layout v/out/dv
+    specialization (VPU P.v instead of N=1 MXU dots) — outputs and all
+    gradients must match einsum."""
+    import jax
+
+    rng = np.random.RandomState(14)
+    B, nh, H, W, dkh, dvh = 2, 2, 6, 5, 8, 1
+    q = jnp.asarray(rng.randn(B, nh, H * W, dkh), jnp.float32)
+    k = jnp.asarray(rng.randn(B, nh, H * W, dkh), jnp.float32)
+    v = jnp.asarray(rng.randn(B, nh, H * W, dvh), jnp.float32)
+    rel_w = jnp.asarray(rng.randn(dkh, 2 * W - 1), jnp.float32)
+    rel_h = jnp.asarray(rng.randn(dkh, 2 * H - 1), jnp.float32)
+    tgt = jnp.asarray(rng.randn(B, nh, H * W, dvh), jnp.float32)
+
+    ref, _ = aa_attention_einsum(q, k, v, rel_w, rel_h, H, W)
+    out = aa_attention_pallas(q, k, v, rel_w, rel_h, H, W)
+    assert out.shape == (B, nh, H * W, 1)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-4)
+
+    def loss(fn):
+        def f(q, k, v, rw, rh):
+            return ((fn(q, k, v, rw, rh) - tgt) ** 2).sum()
+        return jax.grad(f, argnums=(0, 1, 2, 3, 4))
+
+    ge = loss(lambda *a: aa_attention_einsum(*a, H, W)[0])(q, k, v, rel_w, rel_h)
+    gp = loss(lambda *a: aa_attention_pallas(*a, H, W))(q, k, v, rel_w, rel_h)
+    for name, a, b in zip(["dq", "dk", "dv", "drel_w", "drel_h"], ge, gp):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-4,
+                                   err_msg=name)
+
+
+def test_relative_logits_compact_v2_matches_v1():
+    """The transpose-free formulation must be numerically identical."""
+    from chexpert_tpu.ops.attention import relative_logits_compact_v2
+
+    rng = np.random.RandomState(15)
+    B, nh, H, W, dkh = 2, 3, 4, 5, 6
+    q = jnp.asarray(rng.randn(B, nh, H, W, dkh), jnp.float32)
+    rel_w = jnp.asarray(rng.randn(dkh, 2 * W - 1), jnp.float32)
+    rel_h = jnp.asarray(rng.randn(dkh, 2 * H - 1), jnp.float32)
+    rw1, rh1 = relative_logits_compact(q, rel_w, rel_h)
+    rw2, rh2 = relative_logits_compact_v2(q, rel_w, rel_h)
+    np.testing.assert_allclose(np.asarray(rw2), np.asarray(rw1), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(rh2), np.asarray(rh1), atol=1e-5)

@@ -251,3 +251,36 @@ def test_stale_lock_is_broken(tmp_path):
                                poll_sec=0.05, stale_sec=5.0)
     assert built == path and os.path.exists(path)
     assert not os.path.exists(path + ".lock")
+
+
+def test_vectorized_crop_matches_reference_loop(tmp_path):
+    """The sliding-window gather crop (VERDICT r2 task 4: replaces the
+    per-image Python loop that cost ~25% of --data_aug throughput) must
+    produce byte-identical crops/flips for the same seed."""
+    root = str(tmp_path / "d")
+    make_synthetic_dataset(root, n_train=24, n_valid=4, image_size=48)
+    index = ChexpertIndex(root, "train", download=False)
+    cache = build_packed_cache(index, str(tmp_path / "c"), image_size=32,
+                               workers=2, pack_margin=8)
+    b = PackedBatches(index, cache, 8, image_size=32, shuffle=True,
+                      augment=True, seed=3, epoch=1)
+    batches = list(b)
+
+    # reference: same seed-derived draws, per-image loop semantics
+    mm = np.load(cache, mmap_mode="r")
+    stored, s, bs = mm.shape[1], 32, 8
+    order = np.arange(len(index))
+    rng = np.random.RandomState(3 + 1_000_003 * 1)
+    rng.shuffle(order)
+    for bi, batch in enumerate(batches):
+        chunk = order[bi * bs : (bi + 1) * bs]
+        raw = mm[np.sort(chunk)][np.argsort(np.argsort(chunk))]
+        brng = np.random.RandomState((3 + 1_000_003 * 1 + 7_919 * bi) % (2**31))
+        n = len(chunk)
+        tops = brng.randint(0, stored - s + 1, bs)[:n]
+        lefts = brng.randint(0, stored - s + 1, bs)[:n]
+        flips = (brng.rand(bs) < 0.5)[:n]
+        for i in range(n):
+            c = raw[i, tops[i]:tops[i] + s, lefts[i]:lefts[i] + s]
+            expect = c[:, ::-1] if flips[i] else c
+            np.testing.assert_array_equal(batch["image"][i, :, :, 0], expect)
