@@ -94,6 +94,10 @@ def main(argv=None) -> int:
                    help="production-mode learning rate (SGD archs like "
                         "aadensenet121 need ~3e-2 to converge in the gate's "
                         "~100 steps; their production schedule assumes 60k+)")
+    p.add_argument("--attn_impl", default="pallas", choices=["pallas", "einsum"],
+                   help="attention implementation for AA archs; the einsum "
+                        "fallback deliberately halves throughput — used to "
+                        "prove the per-arch floors actually gate")
     args = p.parse_args(argv)
 
     if args.tiny:
@@ -130,6 +134,7 @@ def main(argv=None) -> int:
             "--batch_size", "64", "--n_epochs", "3", "--lr", args.lr,
             "--compute_dtype", "bfloat16", "--log_interval", "8",
             "--eval_interval", "16", "--packed_cache",
+            "--attn_impl", args.attn_impl,
         ]
         auc_floor = args.auc_floor if args.auc_floor is not None else 0.95
         tp_floor = arch_throughput_floor(args.arch, args.throughput_floor)
