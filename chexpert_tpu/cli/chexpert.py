@@ -146,6 +146,13 @@ class Runner:
             cfg.model, image_size=cfg.resize or cfg.image_size,
             dtype=dtype, attn_impl=cfg.attn_impl,
         )
+        # --lr_decay_factor overrides the arch spec's exponential gamma
+        # (reference chexpert.py:54,500 — the flag feeds ExponentialLR)
+        import dataclasses
+
+        self.opt_spec = dataclasses.replace(
+            self.opt_spec, decay_factor=cfg.lr_decay_factor
+        )
         self.tx, self.schedule = make_optimizer(
             self.opt_spec, cfg.lr, cfg.lr_warmup_steps, "hold",
         )

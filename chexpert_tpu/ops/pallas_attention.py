@@ -109,8 +109,10 @@ def _pick_group(bn: int, hw: int, est_bytes=None) -> int:
     if override:
         g = int(override)
         return g if g > 0 and bn % g == 0 else 1
-    if hw > 512:
-        return 1
+    # No hw cutoff: the VMEM estimate is the only gate. Even at HW=1600
+    # (aaresnet152 layer2, tiles (400, 800)) one (b, h) is only ~0.3 us of
+    # MXU work per program — far below the fixed per-program cost — and the
+    # round-3 layouts leave room for G=2 within the budget.
     for g in (8, 4, 2):
         if bn % g == 0 and (est_bytes is None or est_bytes(g) < _VMEM_BUDGET):
             return g

@@ -94,6 +94,17 @@ def main(argv=None) -> int:
                    help="production-mode learning rate (SGD archs like "
                         "aadensenet121 need ~3e-2 to converge in the gate's "
                         "~100 steps; their production schedule assumes 60k+)")
+    p.add_argument("--epochs", type=int, default=3,
+                   help="production-mode epochs; efficientnet archs need ~10 "
+                        "(their reference-faithful BN momentum of 0.01 moves "
+                        "running stats on a ~100-step timescale, so eval "
+                        "diverges from train until a few hundred steps in)")
+    p.add_argument("--lr_decay_factor", default="0.97",
+                   help="exponential-schedule gamma (efficientnet archs): the "
+                        "reference default 0.97/step decays lr to ~0 within "
+                        "~150 steps — fine on 1700-step CheXpert epochs, but "
+                        "the gate's 32-step epochs need ~0.999 to keep "
+                        "learning through the run")
     p.add_argument("--attn_impl", default="pallas", choices=["pallas", "einsum"],
                    help="attention implementation for AA archs; the einsum "
                         "fallback deliberately halves throughput — used to "
@@ -131,7 +142,8 @@ def main(argv=None) -> int:
         fixture = dict(n_train=2048, n_valid=128, image_size=320)
         train_flags = [
             "--model", args.arch, "--image_size", "320",
-            "--batch_size", "64", "--n_epochs", "3", "--lr", args.lr,
+            "--batch_size", "64", "--n_epochs", str(args.epochs), "--lr", args.lr,
+            "--lr_decay_factor", args.lr_decay_factor,
             "--compute_dtype", "bfloat16", "--log_interval", "8",
             "--eval_interval", "16", "--packed_cache",
             "--attn_impl", args.attn_impl,

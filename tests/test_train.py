@@ -266,3 +266,19 @@ def test_multi_device_pallas_attention_matches_single():
             ls.append(float(loss))
         losses[n] = ls
     np.testing.assert_allclose(losses[1], losses[8], rtol=5e-4)
+
+
+def test_cli_lr_decay_factor_reaches_schedule(tmp_path):
+    """--lr_decay_factor must override the arch spec's exponential gamma
+    (reference chexpert.py:54,500: the flag feeds ExponentialLR). Regression:
+    the Runner used to drop cfg.lr_decay_factor and always use the spec
+    default 0.97."""
+    from chexpert_tpu.cli.chexpert import Runner
+    from chexpert_tpu.configs import Config
+
+    cfg = Config(model="efficientnet-b0", image_size=32, lr=1.0,
+                 lr_decay_factor=0.5, output_dir=str(tmp_path),
+                 compute_dtype="float32", batch_size=8)
+    runner = Runner(cfg)
+    assert runner.opt_spec.decay_factor == 0.5
+    assert abs(float(runner.schedule(2)) - 1.0 * 0.5**2) < 1e-6
