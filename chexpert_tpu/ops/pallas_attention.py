@@ -15,16 +15,14 @@ rel_to_abs pad/reshape trick (attn_aug_conv.py:43-63):
    matrices RW[i, cj] (HW, W) and RH[i, rj] (HW, H), computed in XLA by
    relative_logits_compact (tiny, differentiable).
 
-2. The logits tile is computed as TWO MXU passes with no gathers:
-       S = q k^T  +  [RW;RH] [onehot_W(cj); onehot_H(rj)]^T
+2. The logits tile is computed as ONE MXU pass with no gathers:
+       S = [q;RW;RH] [k; onehot_W(cj); onehot_H(rj)]^T
    The one-hot matmul turns "broadcast rel logit to every key in column cj"
-   into a contraction the systolic array does for free.
-
-   (An earlier revision packed Q' = [q;RW;RH], K' = [k;onehots] into ONE
-   matmul. One MXU pass fewer, but materializing the packed operands cost
-   ~160 MB of HBM copies per layer2 block in aaresnet152 — profiled at ~45%
-   of the op's wall clock. Split operands keep XLA's side of the graph
-   copy-free; the extra thin pass is ~0.3 ms vs ~1.5 ms of copies.)
+   into a contraction the systolic array does for free. The query side
+   arrives packed from XLA (the pack replaces the [RW;RH] concat that
+   existed anyway — see the layout notes above the kernels); the key side
+   is packed in VMEM per program (a k-side HBM pack measured slower, since
+   no k concat existed to replace).
 
 3. Small feature maps (HW <= 512) make per-(batch, head) work a few
    microseconds, so the fixed per-program cost dominates — the grid batches
@@ -68,30 +66,37 @@ def _round8(x: int) -> int:
     return ((x + 7) // 8) * 8
 
 
-def _pick_tiles(hw: int) -> Tuple[int, int]:
-    """(tq, tk) with tk a multiple of tq so one padded length serves both
-    grids. Bigger tiles amortize per-tile overhead (measured 2x on v5e going
-    128->256/512); candidates trade tile size against padding waste."""
+def _tile_candidates(hw: int) -> list:
+    """Ranked (tq, tk) candidates, tk a multiple of tq so one padded length
+    serves both grids. Bigger tiles amortize per-tile overhead (measured 2x
+    on v5e going 128->256/512; a FULL-LENGTH key block — nk=1, no online
+    rescale chain — measured another ~8%% at HW=1600: 6.6 -> 6.07 ms/op).
+    The list is cost-ordered; _geometry takes the first VMEM-feasible entry,
+    so candidates too big for the backward's residents fall through to
+    smaller tiles instead of failing."""
     override = os.environ.get("CHEXPERT_ATTN_TILES")
     if override:  # perf experiments (scripts/sweep_attn_tiles.py)
         tq, tk = (int(t) for t in override.split(","))
-        return tq, tk
+        return [(tq, tk)]
     if hw <= 256:
         t = _round8(max(8, hw))
-        return t, t
-    best, best_cost = None, None
+        return [(t, t)]
+    cands = []
     for tq in range(64, 401, 8):
-        for m in range(1, 801 // tq + 1):
+        for m in range(1, _cdiv(hw, tq) + 1):
             tk = tq * m
             hwp = _cdiv(hw, tk) * tk
+            if tk > hwp:  # beyond one full block only pads
+                continue
             # cost model: logits work scales ~ hwp^2; small tiles pay
-            # per-tile overhead (measured sweep on v5e favored (400, 800)
-            # at HW=1600; ~15% penalty per halving below that)
+            # per-tile overhead (measured sweeps on v5e favored (400, 1600)
+            # at HW=1600; ~15% penalty per halving below the (400, 800)
+            # reference point)
             overhead = (400 / tq) * (800 / tk)
             cost = (hwp * hwp) * (1.0 + 0.15 * (overhead - 1.0))
-            if best_cost is None or cost < best_cost:
-                best, best_cost = (tq, tk), cost
-    return best
+            cands.append((cost, tq, tk))
+    cands.sort()
+    return [(tq, tk) for _, tq, tk in cands]
 
 
 def _pick_group(bn: int, hw: int, est_bytes=None) -> int:
@@ -133,8 +138,18 @@ def _interpret() -> bool:
 
 # ---------------------------------------------------------------------------
 # kernels
-#   q (G, tq|hwp, dkh)   r = [RW;RH] (G, tq|hwp, W+H)   k (G, hwp|tk, dkh)
+#   qr = [q ; RW ; RH]  (G, tq|hwp, dkh+W+H)   k (G, hwp|tk, dkh)
 #   oh = [onehot_col; onehot_row] (hwp|tk, W+H, shared)   v (G, hwp|tk, dvh)
+# The query-side operand arrives PRE-PACKED on the lane dim: a (.., dkh=20)
+# array tiles to 128 lanes in HBM (6.4x the bytes), so streaming q and r
+# (and dq/dr) separately pays 2x128 padded lanes per token where the packed
+# form pays one — and the pack replaces the [RW;RH] concat XLA already
+# materialized, so it costs nothing extra. (Packing the KEY side the same
+# way measured SLOWER: no k-side concat existed, so materializing
+# [k;onehots] per (b,h) ADDED a full write where the shared oh constant was
+# nearly free. The kernel builds kab = [k;oh] in VMEM instead.) The s tile
+# is ONE MXU pass over the packed rows, since
+#   qr . [k;oh]^T = q k^T + RW onehot_c^T + RH onehot_r^T.
 # ---------------------------------------------------------------------------
 
 
@@ -152,7 +167,7 @@ def _dot_nn(a, b, dtype=jnp.float32):
     )
 
 
-def _fwd_kernel(q_ref, r_ref, k_ref, oh_ref, v_ref, o_ref, lse_ref,
+def _fwd_kernel(qr_ref, k_ref, oh_ref, v_ref, o_ref, lse_ref,
                 *, hw: int, tq: int, tk: int, G: int, dv1: bool):
     """Online softmax over statically-unrolled key blocks (nk is tiny for
     every AAConv geometry): block 0 initializes the running stats directly —
@@ -172,16 +187,14 @@ def _fwd_kernel(q_ref, r_ref, k_ref, oh_ref, v_ref, o_ref, lse_ref,
     qi = pl.program_id(1)
     nk = _cdiv(hw, tk)
     for g in range(G):
-        # pack Q' = [q ; RW ; RH] in VMEM: the s tile becomes ONE MXU pass
-        # (dkh + W + H <= 128 lanes) with no HBM-materialized packed operands
-        qa = jnp.concatenate([q_ref[g], r_ref[g]], axis=-1)  # (tq, dkh+W+H)
+        qa = qr_ref[g]  # (tq, dkh+W+H), packed [q ; RW ; RH]
 
         m = l = acc = None
         for j in range(nk):
             j0 = j * tk
             kab = jnp.concatenate(
                 [k_ref[g, pl.ds(j0, tk), :], oh_ref[pl.ds(j0, tk), :]], axis=-1
-            )
+            )  # (tk, dkh+W+H) built in VMEM
 
             # q.k + rel_w + rel_h in one MXU pass
             s = _dot_nt(qa, kab)  # (tq, tk) f32
@@ -218,16 +231,17 @@ def _fwd_kernel(q_ref, r_ref, k_ref, oh_ref, v_ref, o_ref, lse_ref,
         )
 
 
-def _bwd_kernel(k_ref, oh_ref, v_ref, q_ref, r_ref, do_ref, lse_ref, delta_ref,
-                dq_ref, dr_ref, dk_ref, dv_ref,
-                *, hw: int, hwp: int, tq: int, tk: int, G: int, dv1: bool):
+def _bwd_kernel(k_ref, oh_ref, v_ref, qr_ref, do_ref, lse_ref, delta_ref,
+                dqr_ref, dk_ref, dv_ref,
+                *, dkh: int, hw: int, hwp: int, tq: int, tk: int, G: int,
+                dv1: bool):
     """Fused backward: one S-recompute serves dq, dk, dv, dRW, dRH.
 
     Grid (bn/G, nk): program ki owns key block ki (writes dk/dv) and loops
-    over query blocks, ACCUMULATING dq/dr into output blocks whose index map
-    is constant in ki — the TPU grid runs sequentially, so the blocks stay
-    resident in VMEM across the ki sweep (zeroed at ki == 0, flushed when
-    the leading coordinate advances).
+    over query blocks, ACCUMULATING the packed [dq ; dRW ; dRH] into an
+    output block whose index map is constant in ki — the TPU grid runs
+    sequentially, so the block stays resident in VMEM across the ki sweep
+    (zeroed at ki == 0, flushed when the leading coordinate advances).
 
     lse/delta stream as (nq, tq) row blocks (128x less HBM than tile-padded
     (hw, 1) columns); with dv1, v/dout/dv do too, and the N=1 MXU dots
@@ -235,14 +249,12 @@ def _bwd_kernel(k_ref, oh_ref, v_ref, q_ref, r_ref, do_ref, lse_ref, delta_ref,
     ki = pl.program_id(1)
     j0 = ki * tk
     nq = _cdiv(hw, tq)  # real-query blocks only; fully-padded query blocks
-    # beyond this keep their zero-init dq/dr rows (sliced away on the host)
+    # beyond this keep their zero-init dqr rows (sliced away on the host)
 
     @pl.when(ki == 0)
     def _():
-        dq_ref[...] = jnp.zeros(dq_ref.shape, dq_ref.dtype)
-        dr_ref[...] = jnp.zeros(dr_ref.shape, dr_ref.dtype)
+        dqr_ref[...] = jnp.zeros(dqr_ref.shape, dqr_ref.dtype)
 
-    dkh = k_ref.shape[-1]
     for g in range(G):
         # K' = [k ; onehots] packed once per program in VMEM, reused across
         # the query sweep: s recompute and dQ' are one MXU pass each
@@ -255,9 +267,7 @@ def _bwd_kernel(k_ref, oh_ref, v_ref, q_ref, r_ref, do_ref, lse_ref, delta_ref,
         def body(i, carry):
             dk, dv = carry
             i0 = i * tq
-            qa = jnp.concatenate(
-                [q_ref[g, pl.ds(i0, tq), :], r_ref[g, pl.ds(i0, tq), :]], axis=-1
-            )
+            qa = qr_ref[g, pl.ds(i0, tq), :]  # (tq, dkh+W+H)
             lse = lse_ref[g, pl.ds(i * 8, 1), :].reshape(tq, 1)
             delta = delta_ref[g, pl.ds(i * 8, 1), :].reshape(tq, 1)
 
@@ -282,8 +292,7 @@ def _bwd_kernel(k_ref, oh_ref, v_ref, q_ref, r_ref, do_ref, lse_ref, delta_ref,
                 ds, qa[:, :dkh], (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)
             dqa = _dot_nn(ds, kab)  # [dq ; dRW ; dRH] in one pass
-            dq_ref[g, pl.ds(i0, tq), :] += dqa[:, :dkh].astype(dq_ref.dtype)
-            dr_ref[g, pl.ds(i0, tq), :] += dqa[:, dkh:].astype(dr_ref.dtype)
+            dqr_ref[g, pl.ds(i0, tq), :] += dqa.astype(dqr_ref.dtype)
             return dk, dv
 
         dk0 = jnp.zeros((tk, dkh), jnp.float32)
@@ -312,30 +321,37 @@ def _onehot_pos(hw: int, H: int, W: int, dtype) -> jnp.ndarray:
 
 def _bwd_bytes_est(hwp, tq, tk, G, dkh, dvh, wh, it, dv1):
     """Estimated backward per-program VMEM residents (the binding
-    constraint): G (b,h)'s full-length q/r (+ dout unless row-layout)
-    inputs, the dq/dr accumulation blocks, and the s/p/ds tiles. Lanes pad
-    to 128 on-chip; 1.5x covers double-buffering/temps (calibrated round 2:
-    compiler reported 17.2 MB where the raw estimate gave 10.9)."""
+    constraint): G (b,h)'s full-length packed qr (+ dout unless row-layout)
+    input, the packed dqr accumulation block, and the s/p/ds tiles. Lanes
+    pad to 128 on-chip; 1.5x covers double-buffering/temps (calibrated
+    round 2: compiler reported 17.2 MB where the raw estimate gave 10.9)."""
     def lanes(d):
         return _cdiv(d, 128) * 128
 
     raw = G * hwp * (
-        lanes(dkh) * it      # q resident
-        + lanes(wh) * it     # r resident
+        lanes(dkh + wh) * it   # packed [q ; RW ; RH] resident
         + (0 if dv1 else lanes(dvh) * it)  # dout resident (row form if dv1)
-        + lanes(dkh) * it    # dq accumulator (kernel dtype)
-        + lanes(wh) * it     # dr accumulator (kernel dtype)
+        + lanes(dkh + wh) * it  # packed [dq ; dRW ; dRH] accumulator
     ) + 3 * tq * tk * 4      # s / p / ds tiles
     return int(raw * 1.5)
 
 
 def _geometry(hw: int, bn: int, dkh: int, dvh: int, wh: int, it: int):
-    tq, tk = _pick_tiles(hw)
-    hwp = _pad_len(hw, tq, tk)
+    """First VMEM-feasible candidate from the cost-ranked tile list (each
+    with the largest group size that fits); if nothing fits even at G=1 the
+    best candidate is returned and the forward's budget assert fires with
+    the long-sequence message."""
     dv1 = dvh == 1
-    G = _pick_group(bn, hw, lambda g: _bwd_bytes_est(
-        hwp, tq, tk, g, dkh, dvh, wh, it, dv1))
-    return tq, tk, hwp, G
+    first = None
+    for tq, tk in _tile_candidates(hw):
+        hwp = _pad_len(hw, tq, tk)
+        est = lambda g: _bwd_bytes_est(hwp, tq, tk, g, dkh, dvh, wh, it, dv1)
+        G = _pick_group(bn, hw, est)
+        if first is None:
+            first = (tq, tk, hwp, G)
+        if est(G) < _VMEM_BUDGET:
+            return tq, tk, hwp, G
+    return first
 
 
 ROW_SUB = 8  # sublane stride between row blocks: dynamic sublane indices
@@ -387,13 +403,17 @@ def _flash_forward(q, k, v, rw, rh, H: int, W: int):
     )
 
     dt = q.dtype
-    r = jnp.concatenate([rw.astype(dt), rh.astype(dt)], axis=-1)  # (B,nh,hw,wh)
+    # pack [q ; RW ; RH] and [k ; onehots] on the lane dim BEFORE the kernel:
+    # one concatenate fusion each, and every stream between XLA and the
+    # kernel moves dkh+wh (<=128) real lanes per token instead of two
+    # separately-128-padded arrays (dkh=20 alone tiles to 128 = 6.4x bytes)
+    qr = jnp.concatenate([q, rw.astype(dt), rh.astype(dt)], axis=-1)
     oh = _pad_axis(_onehot_pos(hw, H, W, dt), 0, hwp)
 
     def flat(x, d):
         return _pad_axis(x.reshape(bn, hw, d), 1, hwp)
 
-    qf, kf, rf = flat(q, dkh), flat(k, dkh), flat(r, wh)
+    qrf, kf = flat(qr, dkh + wh), flat(k, dkh)
     if dv1:
         # row-block layout (bn, nk, tk): same linearization as (bn, hw, 1),
         # but the tiled HBM footprint drops ~128x (no 1->128 lane padding)
@@ -412,8 +432,7 @@ def _flash_forward(q, k, v, rw, rh, H: int, W: int):
         functools.partial(_fwd_kernel, hw=hw, tq=tq, tk=tk, G=G, dv1=dv1),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((G, tq, dkh), lambda b, i: (b, i, 0)),
-            pl.BlockSpec((G, tq, wh), lambda b, i: (b, i, 0)),
+            pl.BlockSpec((G, tq, dkh + wh), lambda b, i: (b, i, 0)),
             pl.BlockSpec((G, hwp, dkh), lambda b, i: (b, 0, 0)),
             pl.BlockSpec((hwp, wh), lambda b, i: (0, 0)),
             v_spec,
@@ -427,23 +446,23 @@ def _flash_forward(q, k, v, rw, rh, H: int, W: int):
             jax.ShapeDtypeStruct((bn, nq * ROW_SUB, tq), jnp.float32),
         ],
         interpret=_interpret(),
-    )(qf, rf, kf, oh, vf)
+    )(qrf, kf, oh, vf)
     if dv1:
         out4 = _unrows(out, hwp)[:, :hw].reshape(B, nh, hw, 1)
     else:
         out4 = out[:, :hw].reshape(B, nh, hw, dvh)
-    return out4, (qf, kf, rf, vf, oh, lse, out)
+    return out4, (qrf, kf, oh, vf, lse, out)
 
 
 def _flash_fwd_rule(q, k, v, rw, rh, H: int, W: int):
-    out4, (qf, kf, rf, vf, oh, lse, outp) = _flash_forward(q, k, v, rw, rh, H, W)
+    out4, (qrf, kf, oh, vf, lse, outp) = _flash_forward(q, k, v, rw, rh, H, W)
     # zero-size dtype/shape witnesses (residuals must be arrays)
     wit = tuple(jnp.zeros((0,) + x.shape, x.dtype) for x in (q, k, v, rw, rh))
-    return out4, (qf, kf, rf, vf, oh, lse, outp, wit)
+    return out4, (qrf, kf, oh, vf, lse, outp, wit)
 
 
 def _flash_bwd_rule(H: int, W: int, res, dout):
-    qf, kf, rf, vf, oh, lse, outp, wit = res
+    qrf, kf, oh, vf, lse, outp, wit = res
     qw, kw, vw, rww, rhw = wit
     qdt, kdt, vdt, rwdt, rhdt = (x.dtype for x in wit)
     B, nh, hw, dkh = qw.shape[1:]
@@ -451,7 +470,7 @@ def _flash_bwd_rule(H: int, W: int, res, dout):
     dv1 = dvh == 1
     wh = W + H
     bn = B * nh
-    tq, tk, hwp, G = _geometry(hw, bn, dkh, dvh, wh, qf.dtype.itemsize)
+    tq, tk, hwp, G = _geometry(hw, bn, dkh, dvh, wh, qrf.dtype.itemsize)
     nq, nk = hwp // tq, hwp // tk
 
     if dv1:
@@ -476,38 +495,35 @@ def _flash_bwd_rule(H: int, W: int, res, dout):
         dv_shape = jax.ShapeDtypeStruct((bn, hwp, dvh), vf.dtype)
 
     grid = (bn // G, nk)
-    dq, dr, dk, dv = pl.pallas_call(
-        functools.partial(_bwd_kernel, hw=hw, hwp=hwp, tq=tq, tk=tk, G=G,
-                          dv1=dv1),
+    dqr, dk, dv = pl.pallas_call(
+        functools.partial(_bwd_kernel, dkh=dkh, hw=hw, hwp=hwp, tq=tq, tk=tk,
+                          G=G, dv1=dv1),
         grid=grid,
         in_specs=[
             pl.BlockSpec((G, tk, dkh), lambda b, j: (b, j, 0)),
             pl.BlockSpec((tk, wh), lambda b, j: (j, 0)),
             v_spec,
-            pl.BlockSpec((G, hwp, dkh), lambda b, j: (b, 0, 0)),
-            pl.BlockSpec((G, hwp, wh), lambda b, j: (b, 0, 0)),
+            pl.BlockSpec((G, hwp, dkh + wh), lambda b, j: (b, 0, 0)),
             do_spec,
             pl.BlockSpec((G, nq * ROW_SUB, tq), lambda b, j: (b, 0, 0)),
             pl.BlockSpec((G, nq * ROW_SUB, tq), lambda b, j: (b, 0, 0)),
         ],
         out_specs=[
-            pl.BlockSpec((G, hwp, dkh), lambda b, j: (b, 0, 0)),
-            pl.BlockSpec((G, hwp, wh), lambda b, j: (b, 0, 0)),
+            pl.BlockSpec((G, hwp, dkh + wh), lambda b, j: (b, 0, 0)),
             pl.BlockSpec((G, tk, dkh), lambda b, j: (b, j, 0)),
             dv_spec,
         ],
         out_shape=[
-            # dq/dr accumulate across <= nk visits in the KERNEL dtype: bf16
-            # halves their HBM traffic and kills the XLA-side converts (the
+            # dqr accumulates across <= nk visits in the KERNEL dtype: bf16
+            # halves its HBM traffic and kills the XLA-side converts (the
             # accumulation depth is nk <= 4, so the rounding cost is ~1 ulp).
             # dk/dv are written once from f32 VMEM carries: emit kernel dtype
-            jax.ShapeDtypeStruct((bn, hwp, dkh), qf.dtype),
-            jax.ShapeDtypeStruct((bn, hwp, wh), qf.dtype),
+            jax.ShapeDtypeStruct((bn, hwp, dkh + wh), qrf.dtype),
             jax.ShapeDtypeStruct((bn, hwp, dkh), kf.dtype),
             dv_shape,
         ],
         interpret=_interpret(),
-    )(kf, oh, vf, qf, rf, dof, lse, deltaf)
+    )(kf, oh, vf, qrf, dof, lse, deltaf)
 
     def unflat(x, d, dt):
         return x[:, :hw].reshape(B, nh, hw, d).astype(dt)
@@ -515,11 +531,11 @@ def _flash_bwd_rule(H: int, W: int, res, dout):
     dv4 = (_unrows(dv, hwp)[:, :hw].reshape(B, nh, hw, 1).astype(vdt) if dv1
            else unflat(dv, dvh, vdt))
     return (
-        unflat(dq, dkh, qdt),
+        unflat(dqr[..., :dkh], dkh, qdt),
         unflat(dk, dkh, kdt),
         dv4,
-        unflat(dr[..., :W], W, rwdt),
-        unflat(dr[..., W:], H, rhdt),
+        unflat(dqr[..., dkh:dkh + W], W, rwdt),
+        unflat(dqr[..., dkh + W:], H, rhdt),
     )
 
 

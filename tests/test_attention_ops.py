@@ -190,10 +190,13 @@ def test_attention_pallas_sharded_gradients_match_single_device():
 def test_vmem_guard_rejects_oversized_geometry():
     """Geometries whose BACKWARD residents exceed the scoped-VMEM budget must
     fail at trace time with the documented message, not an opaque compiler
-    crash (observed: HW=6400 forward compiled, backward OOM'd at 45 MB)."""
+    crash (observed round 2: HW=6400 forward compiled, backward OOM'd at
+    45 MB; since the packed-operand layout halved the residents and
+    _geometry falls back to smaller tiles, HW=6400 fits and the overflow
+    example is 160x160)."""
     from chexpert_tpu.ops.pallas_attention import _flash_forward
 
-    hw, W, H, dkh = 6400, 80, 80, 20
+    hw, W, H, dkh = 25600, 160, 160, 20
     q = jnp.zeros((1, 1, hw, dkh), jnp.bfloat16)
     v = jnp.zeros((1, 1, hw, 1), jnp.bfloat16)
     rw = jnp.zeros((1, 1, hw, W))
@@ -264,7 +267,7 @@ def test_attention_pallas_rw_fast_path():
 
     rng = np.random.RandomState(13)
     B, nh, H, W, dkh, dvh = 2, 2, 4, 8, 8, 4  # hw=32 -> tiles (32,32); 32%8==0
-    tq, tk = pa._pick_tiles(H * W)
+    tq, tk = pa._tile_candidates(H * W)[0]
     assert tk % W == 0, "geometry must hit the fast path"
     q = jnp.asarray(rng.randn(B, nh, H * W, dkh), jnp.float32)
     k = jnp.asarray(rng.randn(B, nh, H * W, dkh), jnp.float32)
