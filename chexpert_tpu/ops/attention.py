@@ -115,6 +115,60 @@ def relative_logits_compact_v2(
     return rw.reshape(B, nh, H * W, W), rh
 
 
+def relative_logits_compact_bd(
+    q2d: jnp.ndarray, rel_w: jnp.ndarray, rel_h: jnp.ndarray
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Compact rel logits via layout-preserving contractions (same math as
+    relative_logits_compact; pinned by test_relative_logits_compact_bd).
+
+    The diagonal-gather einsums "bnhwd,dwm->bnhwm" / "bnhwd,dhm->bnhwm"
+    carry a spatial BATCH dim (w resp. h), and TPU dot_general wants batch
+    dims major-most in both operands — so XLA materializes batch-major
+    copies of q and of the 5-D outputs around every call (profiled at
+    ~3.3 GB/step of pure copy traffic across aaresnet152's 47 attention
+    layers, the largest single overhead after round-3's kernel work).
+
+    * Width side: w is ADJACENT-major to the contracted d in q's natural
+      (B, nh, H, W, d) layout, so the batched contraction is equivalent to
+      ONE plain matmul against a block-diagonal operand —
+          RW[(b,n,h), (w', m)] = q[(b,n,h), (w, d)] . BD[(w, d), (w', m)],
+          BD[(w, d), (w', m)] = delta(w, w') * rel_w_abs[d, w, m]
+      No batch dims -> no layout copies; the (W-1)/W zero fraction rides
+      the otherwise-idle MXU (~30 us/block where the copies cost ~1 ms).
+    * Height side: h is NOT adjacent to d, so no BD matmul exists in this
+      layout. A broadcast-multiply-reduce (q[..., None] * rel_h_abs
+      summed over d) keeps natural layouts and fuses on the VPU; the
+      reduction depth is only dkh.
+    """
+    B, nh, H, W, dkh = q2d.shape
+    iw = jnp.arange(W)
+    rel_w_abs = rel_w[:, iw[None, :] - iw[:, None] + W - 1]  # (d, w, m)
+    eye = jnp.eye(W, dtype=q2d.dtype)
+    bd = jnp.einsum("wv,dwm->wdvm", eye, rel_w_abs).reshape(W * dkh, W * W)
+    rw = jnp.einsum(
+        "bnhk,kc->bnhc", q2d.reshape(B, nh, H, W * dkh), bd,
+        preferred_element_type=jnp.float32,
+    ).astype(q2d.dtype)
+    rw = rw.reshape(B, nh, H * W, W)  # cols (w', m) row-major = token, cj
+
+    ih = jnp.arange(H)
+    rel_h_abs = rel_h[:, ih[None, :] - ih[:, None] + H - 1]  # (d, h, m)
+    if os.environ.get("CHEXPERT_REL_H") == "bcast":
+        # rh[b,n,h,w,m] = sum_d q[b,n,h,w,d] * rel_h_abs[d,h,m]; elementwise
+        # broadcast + reduce over the minor d keeps natural layouts but puts
+        # the contraction on the VPU — measured SLOWER on-chip than the
+        # batched einsum's copies (98.9 vs 138.7 img/s on aaresnet152)
+        rh = jnp.sum(
+            q2d[:, :, :, :, None, :]                        # (B,nh,H,W,1,d)
+            * rel_h_abs.transpose(1, 2, 0)[None, None, :, None, :, :],  # (h,m,d)
+            axis=-1,
+        ).reshape(B, nh, H * W, H)
+    else:
+        rh = jnp.einsum("bnhwd,dhm->bnhwm", q2d, rel_h_abs)
+        rh = rh.reshape(B, nh, H * W, H)
+    return rw, rh
+
+
 def relative_logits(
     q2d: jnp.ndarray, rel_w: jnp.ndarray, rel_h: jnp.ndarray
 ) -> jnp.ndarray:

@@ -44,7 +44,7 @@ import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 
-from chexpert_tpu.ops.attention import relative_logits_compact
+from chexpert_tpu.ops.attention import relative_logits_compact, relative_logits_compact_bd
 
 NEG_INF = -1e30
 
@@ -564,9 +564,10 @@ def aa_attention_pallas(
         # them as bf16 lanes with f32 MXU accumulation anyway, and f32 here
         # costs an extra convert + double-width layout copies per block
         q2d = q.reshape(B, nh, H, W, dkh)
-        rw, rh = relative_logits_compact(
-            q2d, rel_w.astype(q.dtype), rel_h.astype(q.dtype)
-        )
+        rel_fn = (relative_logits_compact
+                  if os.environ.get("CHEXPERT_REL_IMPL") == "einsum"
+                  else relative_logits_compact_bd)
+        rw, rh = rel_fn(q2d, rel_w.astype(q.dtype), rel_h.astype(q.dtype))
     else:
         rw = jnp.zeros((B, nh, hw, W), q.dtype)
         rh = jnp.zeros((B, nh, hw, H), q.dtype)
