@@ -76,6 +76,8 @@ def main() -> int:
     p.add_argument("--warmup", type=int, default=5)
     p.add_argument("--image-size", type=int, default=320)
     p.add_argument("--model", default="densenet121")
+    p.add_argument("--no-prefix-stats", action="store_true",
+                   help="A/B: disable carried-stats dense blocks")
     args = p.parse_args()
 
     from chexpert_tpu.models import build_model
@@ -86,7 +88,8 @@ def main() -> int:
     from chexpert_tpu.train import TrainState, init_model, jit_steps, make_optimizer
 
     dev = jax.devices()[0]
-    model, spec = build_model(args.model, image_size=args.image_size)
+    model, spec = build_model(args.model, image_size=args.image_size,
+                              prefix_stats=not args.no_prefix_stats)
     tx, _ = make_optimizer(spec, 1e-4)
 
     rng = jax.random.PRNGKey(0)

@@ -79,6 +79,84 @@ class DenseLayer(nn.Module):
         return jnp.concatenate([x, y], axis=-1)
 
 
+class _PrefixBN(nn.Module):
+    """norm1 over the accumulated prefix using CARRIED batch stats.
+
+    DenseNet re-normalizes the same accumulated feature map in every dense
+    layer (reference: torchvision _DenseLayer norm1, used via
+    /root/reference/chexpert.py:461-470 and attn_aug_conv.py:13). The
+    per-channel batch mean/var layer i computes over channels [0, C_i) are
+    identical to the stats computed when those channels were born — same
+    values, same batch. Accepting the carried stats instead of re-reducing
+    removes one full HBM read of the prefix per layer, and normalizing per
+    segment (concatenated once by the caller) removes the per-layer concat
+    write — together ~2 of the ~5 O(L^2) traffic terms of the standard path
+    on this bandwidth-bound architecture. Param/batch_stats names and shapes
+    match nn.BatchNorm exactly, so checkpoints and the torchvision importer
+    are unaffected.
+    """
+
+    features: int
+    dtype: Dtype
+    eps: float = 1e-5
+    momentum: float = 0.9  # flax convention: EMA decay of running stats
+
+    @nn.compact
+    def __call__(self, segments, mean, var, train: bool):
+        scale = self.param("scale", nn.initializers.ones, (self.features,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+        ra_mean = self.variable("batch_stats", "mean",
+                                lambda: jnp.zeros((self.features,), jnp.float32))
+        ra_var = self.variable("batch_stats", "var",
+                               lambda: jnp.ones((self.features,), jnp.float32))
+        if not train:
+            mean, var = ra_mean.value, ra_var.value
+        elif not self.is_initializing():
+            ra_mean.value = self.momentum * ra_mean.value + (1 - self.momentum) * mean
+            ra_var.value = self.momentum * ra_var.value + (1 - self.momentum) * var
+        bounds = np.cumsum([0] + [s.shape[-1] for s in segments])
+        out = []
+        for i, seg in enumerate(segments):
+            sl = slice(int(bounds[i]), int(bounds[i + 1]))
+            inv = jax.lax.rsqrt(var[sl] + self.eps) * scale[sl]
+            out.append(((seg - mean[sl]) * inv + bias[sl]).astype(self.dtype))
+        return out
+
+
+class PrefixDenseLayer(nn.Module):
+    """Dense layer over the running segment list with carried norm1 stats.
+
+    Unlike SegmentedDenseLayer (below), the normalized prefix IS concatenated
+    — into the conv1 input, one fused elementwise+concat write that the
+    standard path also pays as its norm1/relu output — so conv1 stays one
+    full-width MXU matmul (the segmented variant's measured weakness). Same
+    parameter tree as DenseLayer."""
+
+    growth_rate: int
+    bn_size: int
+    drop_rate: float
+    dtype: Dtype
+
+    @nn.compact
+    def __call__(self, segments, mean, var, train: bool):
+        in_features = sum(s.shape[-1] for s in segments)
+        normed = _PrefixBN(in_features, self.dtype, name="norm1")(segments, mean, var, train)
+        y = jnp.concatenate([nn.relu(s) for s in normed], axis=-1)
+        y = conv(
+            self.bn_size * self.growth_rate, 1, dtype=self.dtype,
+            kernel_init=kaiming_normal_in_normal, name="conv1",
+        )(y)
+        y = batch_norm(train, dtype=self.dtype, name="norm2")(y)
+        y = nn.relu(y)
+        y = conv(
+            self.growth_rate, 3, dtype=self.dtype,
+            kernel_init=kaiming_normal_in_normal, name="conv2",
+        )(y)
+        if self.drop_rate > 0:
+            y = nn.Dropout(self.drop_rate)(y, deterministic=not train)
+        return y
+
+
 class _SegmentBN(nn.Module):
     """BatchNorm over a LIST of channel segments — numerically identical to
     nn.BatchNorm on their concatenation (per-channel stats), but without
@@ -200,9 +278,32 @@ class DenseBlock(nn.Module):
     drop_rate: float
     dtype: Dtype
     concat_free: bool = False
+    prefix_stats: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool):
+        if self.prefix_stats:
+            def seg_stats(s):
+                s32 = s.astype(jnp.float32)
+                return s32.mean(axis=(0, 1, 2)), s32.var(axis=(0, 1, 2))
+
+            segments = [x]
+            if train:
+                m0, v0 = seg_stats(x)
+                means, varis = [m0], [v0]
+            for i in range(self.num_layers):
+                mean = jnp.concatenate(means) if train else None
+                var = jnp.concatenate(varis) if train else None
+                y = PrefixDenseLayer(
+                    self.growth_rate, self.bn_size, self.drop_rate, self.dtype,
+                    name=f"denselayer{i + 1}",
+                )(segments, mean, var, train)
+                segments.append(y)
+                if train:
+                    m, v = seg_stats(y)
+                    means.append(m)
+                    varis.append(v)
+            return jnp.concatenate(segments, axis=-1)
         if not self.concat_free:
             for i in range(self.num_layers):
                 x = DenseLayer(
@@ -259,6 +360,7 @@ class DenseNet(nn.Module):
     dtype: Dtype = jnp.bfloat16
     attn_impl: str = "pallas"
     concat_free: bool = False  # segment-wise dense layers (see SegmentedDenseLayer)
+    prefix_stats: bool = False  # carried-stats dense layers (see PrefixDenseLayer)
 
     @nn.compact
     def __call__(self, x, train: bool = False, probe=None, capture_weights: bool = False):
@@ -289,6 +391,7 @@ class DenseNet(nn.Module):
             x = DenseBlock(
                 num_layers, self.growth_rate, self.bn_size, self.drop_rate,
                 self.dtype, concat_free=self.concat_free,
+                prefix_stats=self.prefix_stats,
                 name=f"denseblock{i + 1}",
             )(x, train)
             num_features += num_layers * self.growth_rate

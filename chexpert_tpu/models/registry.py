@@ -43,17 +43,22 @@ def build_model(
     image_size: int = 320,
     dtype=jnp.bfloat16,
     attn_impl: str = "pallas",
+    prefix_stats: bool = True,
 ) -> Tuple[nn.Module, OptimizerSpec]:
+    # prefix_stats: carried-stats dense blocks (models/densenet.py _PrefixBN)
+    # — numerically identical (tests/test_prefix_stats.py), same param tree,
+    # less HBM traffic on the bandwidth-bound DenseNets. Default on.
     if name == "densenet121":
         return (
-            DenseNet(32, (6, 12, 24, 16), 64, num_classes=n_classes, dtype=dtype),
+            DenseNet(32, (6, 12, 24, 16), 64, num_classes=n_classes, dtype=dtype,
+                     prefix_stats=prefix_stats),
             OptimizerSpec("adam"),
         )
     if name == "aadensenet121":
         attn = AttnParams(k=0.2, v=0.1, nh=8, relative=True, input_dims=(image_size, image_size))
         return (
             DenseNet(32, (6, 12, 24, 16), 64, num_classes=n_classes, attn=attn,
-                     dtype=dtype, attn_impl=attn_impl),
+                     dtype=dtype, attn_impl=attn_impl, prefix_stats=prefix_stats),
             OptimizerSpec("sgd_nesterov", "multistep", milestones=(40000, 60000)),
         )
     if name == "resnet152":
@@ -76,14 +81,15 @@ def build_model(
     if name == "densenet-tiny":
         # small debug arch (CPU-testable CLI runs; no reference equivalent)
         return (
-            DenseNet(8, (2, 2), 16, num_classes=n_classes, dtype=dtype),
+            DenseNet(8, (2, 2), 16, num_classes=n_classes, dtype=dtype,
+                     prefix_stats=prefix_stats),
             OptimizerSpec("adam"),
         )
     if name == "aadensenet-tiny":
         attn = AttnParams(k=0.25, v=0.25, nh=2, relative=True, input_dims=(image_size, image_size))
         return (
             DenseNet(8, (2, 2), 16, num_classes=n_classes, attn=attn,
-                     dtype=dtype, attn_impl=attn_impl),
+                     dtype=dtype, attn_impl=attn_impl, prefix_stats=prefix_stats),
             OptimizerSpec("adam"),
         )
     raise RuntimeError(f"Model architecture not supported: {name}")
