@@ -124,7 +124,10 @@ def _pick_group(bn: int, hw: int, est_bytes=None) -> int:
     return 1
 
 
-_VMEM_BUDGET = 14 * 1024 * 1024
+# Calibrated against the default TPU scoped-VMEM limit (16 MiB). Raise
+# together with XLA_FLAGS=--xla_tpu_scoped_vmem_limit_kib=N for experiments
+# with larger per-program groups (scripts/sweep_attn_tiles.py).
+_VMEM_BUDGET = int(os.environ.get("CHEXPERT_ATTN_VMEM_MB", "14")) * 1024 * 1024
 
 
 def _pad_len(hw: int, tq: int, tk: int) -> int:
