@@ -210,7 +210,8 @@ def build_bench_model(args, n_classes: int, n_batches: int, dtype):
     elif args.model == "densenet":
         k, L = args.architecture
         model = DenseNet(k, ((L - 4) // 6,) * 3, 2 * k, num_classes=n_classes,
-                         attn=attn, dtype=dtype, attn_impl=args.attn_impl)
+                         attn=attn, dtype=dtype, attn_impl=args.attn_impl,
+                         prefix_stats=True)
         spec = OptimizerSpec("sgd_nesterov", "multistep",
                              milestones=(100 * n_batches, 150 * n_batches),
                              weight_decay=args.weight_decay)
