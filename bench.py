@@ -84,6 +84,25 @@ def main() -> int:
     from chexpert_tpu.utils.io import enable_compilation_cache
     enable_compilation_cache()
 
+    # The tunneled dev TPU has outage windows (backend init blocks, then
+    # raises UNAVAILABLE). Probe in a subprocess (in-process init failures
+    # are cached by jax) and wait out short blips before committing this
+    # process to a backend.
+    import subprocess
+    for attempt in range(10):
+        try:
+            ok = subprocess.run(
+                [sys.executable, "-c", "import jax; jax.devices()"],
+                timeout=120, capture_output=True,
+            ).returncode == 0
+        except subprocess.TimeoutExpired:
+            ok = False
+        if ok:
+            break
+        print(f"device probe {attempt + 1} failed; retrying in 30s",
+              file=sys.stderr)
+        time.sleep(30)
+
     from chexpert_tpu.parallel.mesh import batch_sharding, create_mesh, replicated
     from chexpert_tpu.train import TrainState, init_model, jit_steps, make_optimizer
 
