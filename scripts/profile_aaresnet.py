@@ -152,9 +152,15 @@ def trace_model(B=16, attn_impl="pallas", out="/tmp/aares_trace", model_name="aa
 if __name__ == "__main__":
     import sys
 
+    import os as _os
+
     from chexpert_tpu.utils.io import enable_compilation_cache
     enable_compilation_cache()
-    B = 16
+    # Env overrides so any registry arch/batch can be traced or timed:
+    #   CHEXPERT_PROFILE_ARCH=densenet121 CHEXPERT_PROFILE_BATCH=128 \
+    #     python scripts/profile_aaresnet.py model|trace
+    B = int(_os.environ.get("CHEXPERT_PROFILE_BATCH", "16"))
+    arch = _os.environ.get("CHEXPERT_PROFILE_ARCH", "aaresnet152")
     print(f"devices: {jax.devices()}")
     if "model" not in sys.argv:
         tot_p = tot_e = 0.0
@@ -164,6 +170,6 @@ if __name__ == "__main__":
             tot_e += e
         print(f"attention total per step: pallas {tot_p*1e3:.1f} ms einsum {tot_e*1e3:.1f} ms")
     if "trace" in sys.argv:
-        trace_model(B, "pallas")
+        trace_model(B, "pallas", out=f"/tmp/{arch}_trace", model_name=arch)
     elif "ops" not in sys.argv:
-        bench_model(B, "pallas")
+        bench_model(B, "pallas", model_name=arch)
