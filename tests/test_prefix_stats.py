@@ -47,3 +47,15 @@ def test_prefix_stats_identical():
         lambda a, b: np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4),
         grads(m_std, params), grads(m_pre, params2),
     )
+
+
+def test_registry_default_prefix_stats():
+    """The production DenseNet archs default to carried-stats blocks (the
+    bench headline measures this path); the flag is overridable for A/B."""
+    from chexpert_tpu.models import build_model
+
+    for name in ("densenet121", "aadensenet121", "densenet-tiny"):
+        model, _ = build_model(name)
+        assert model.prefix_stats, name
+        model, _ = build_model(name, prefix_stats=False)
+        assert not model.prefix_stats, name
