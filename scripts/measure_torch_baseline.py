@@ -30,20 +30,39 @@ sys.path.insert(0, "/root/reference")  # read-only golden oracle import
 import torch  # noqa: E402
 
 
+def _build(arch: str):
+    """The reference's own model classes with its factory arguments
+    (/root/reference/chexpert.py:461-495)."""
+    from models.attn_aug_conv import Bottleneck, DenseNet, ResNet
+
+    attn = {"k": 0.2, "v": 0.1, "nh": 8, "relative": True,
+            "input_dims": (320, 320)}
+    if arch == "densenet121":
+        return DenseNet(num_classes=5)
+    if arch == "aadensenet121":
+        return DenseNet(32, (6, 12, 24, 16), 64, num_classes=5, attn_params=attn)
+    if arch == "aaresnet152":
+        return ResNet(Bottleneck, [3, 8, 36, 3], num_classes=5, attn_params=attn)
+    if arch == "resnet152":
+        # the reference's torchvision-clone ResNet with attention disabled is
+        # structurally torchvision resnet152 (attn_aug_conv.py:214-304)
+        return ResNet(Bottleneck, [3, 8, 36, 3], num_classes=5)
+    raise RuntimeError(arch)
+
+
 def main() -> int:
     p = argparse.ArgumentParser()
     p.add_argument("--batch", type=int, default=4)
     p.add_argument("--steps", type=int, default=3)
     p.add_argument("--warmup", type=int, default=1)
     p.add_argument("--image-size", type=int, default=320)
+    p.add_argument("--arch", default="densenet121",
+                   help="reference-table arch; non-densenet121 results land "
+                        "under an 'archs' map in the JSON")
     args = p.parse_args()
 
-    # the reference's own torchvision-clone DenseNet with densenet121
-    # defaults (attn_aug_conv.py:448-453), 5-class head (chexpert.py:465-467)
-    from models.attn_aug_conv import DenseNet
-
     torch.manual_seed(0)
-    model = DenseNet(num_classes=5)
+    model = _build(args.arch)
     model.train()
     opt = torch.optim.Adam(model.parameters(), lr=1e-4)
     loss_fn = torch.nn.BCEWithLogitsLoss(reduction="none")
@@ -67,20 +86,28 @@ def main() -> int:
     dt = time.perf_counter() - t0
 
     img_s = args.batch * args.steps / dt
-    record = {
+    out = os.path.join(REPO, "BASELINE_TORCH_CPU.json")
+    record = json.load(open(out)) if os.path.exists(out) else {}
+    entry = {
         "img_s": round(img_s, 3),
         "batch": args.batch,
         "image_size": args.image_size,
         "steps": args.steps,
         "torch": torch.__version__,
         "threads": torch.get_num_threads(),
-        "note": "reference-equivalent densenet121 train step on this host CPU "
-                "(chexpert.py:152-164); measured floor for bench.py vs_baseline",
     }
-    out = os.path.join(REPO, "BASELINE_TORCH_CPU.json")
+    if args.arch == "densenet121":
+        record.update(entry)
+        record["note"] = (
+            "reference-equivalent densenet121 train step on this host CPU "
+            "(chexpert.py:152-164); measured floor for bench.py vs_baseline; "
+            "'archs' holds the other reference-table rows"
+        )
+    else:
+        record.setdefault("archs", {})[args.arch] = entry
     with open(out, "w") as f:
         json.dump(record, f, indent=2)
-    print(json.dumps(record))
+    print(json.dumps({args.arch: entry}))
     return 0
 
 
