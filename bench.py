@@ -76,8 +76,13 @@ def main() -> int:
     p.add_argument("--warmup", type=int, default=5)
     p.add_argument("--image-size", type=int, default=320)
     p.add_argument("--model", default="densenet121")
+    p.add_argument("--prefix-stats", action="store_true",
+                   help="A/B: force carried-stats dense blocks ON")
     p.add_argument("--no-prefix-stats", action="store_true",
-                   help="A/B: disable carried-stats dense blocks")
+                   help="A/B: force carried-stats dense blocks OFF "
+                        "(default: the arch's measured registry default)")
+    p.add_argument("--remat", action="store_true",
+                   help="A/B: rematerialized dense blocks (recompute in bwd)")
     args = p.parse_args()
 
     from chexpert_tpu.models import build_model
@@ -107,8 +112,10 @@ def main() -> int:
     from chexpert_tpu.train import TrainState, init_model, jit_steps, make_optimizer
 
     dev = jax.devices()[0]
+    prefix_stats = True if args.prefix_stats else (
+        False if args.no_prefix_stats else None)  # None = arch default
     model, spec = build_model(args.model, image_size=args.image_size,
-                              prefix_stats=not args.no_prefix_stats)
+                              prefix_stats=prefix_stats, remat=args.remat)
     tx, _ = make_optimizer(spec, 1e-4)
 
     rng = jax.random.PRNGKey(0)

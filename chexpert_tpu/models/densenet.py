@@ -361,6 +361,12 @@ class DenseNet(nn.Module):
     attn_impl: str = "pallas"
     concat_free: bool = False  # segment-wise dense layers (see SegmentedDenseLayer)
     prefix_stats: bool = False  # carried-stats dense layers (see PrefixDenseLayer)
+    remat: bool = False  # rematerialized dense blocks: save only block
+    # boundaries, recompute layer intermediates in the backward. DenseNet
+    # trains at 27-44 FLOP/byte vs the v5e balance point of ~240 (bench.py
+    # roofline), so the extra recompute FLOPs are free if dropping the
+    # per-layer autodiff residuals (normed conv1 inputs are O(L^2) bytes
+    # per block) reduces HBM traffic. A/B'd on chip via bench.py --remat.
 
     @nn.compact
     def __call__(self, x, train: bool = False, probe=None, capture_weights: bool = False):
@@ -387,8 +393,14 @@ class DenseNet(nn.Module):
             x = nn.relu(x)
 
         num_features = self.num_init_features
+        block_cls = DenseBlock
+        if self.remat:
+            # static_argnums: `train` is a Python bool branching the graph.
+            # Mutable batch_stats updates are lifted through the checkpoint
+            # by flax; policy None = save nothing inside the block.
+            block_cls = nn.remat(DenseBlock, static_argnums=(2,))
         for i, num_layers in enumerate(self.block_config):
-            x = DenseBlock(
+            x = block_cls(
                 num_layers, self.growth_rate, self.bn_size, self.drop_rate,
                 self.dtype, concat_free=self.concat_free,
                 prefix_stats=self.prefix_stats,

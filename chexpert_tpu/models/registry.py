@@ -13,7 +13,7 @@ captures the per-arch optimizer/scheduler choices:
 from __future__ import annotations
 
 import dataclasses
-from typing import Tuple
+from typing import Optional, Tuple
 
 import flax.linen as nn
 import jax.numpy as jnp
@@ -43,22 +43,31 @@ def build_model(
     image_size: int = 320,
     dtype=jnp.bfloat16,
     attn_impl: str = "pallas",
-    prefix_stats: bool = True,
+    prefix_stats: Optional[bool] = None,
+    remat: bool = False,
 ) -> Tuple[nn.Module, OptimizerSpec]:
     # prefix_stats: carried-stats dense blocks (models/densenet.py _PrefixBN)
-    # — numerically identical (tests/test_prefix_stats.py), same param tree,
-    # less HBM traffic on the bandwidth-bound DenseNets. Default on.
+    # — numerically identical (tests/test_prefix_stats.py), same param tree.
+    # Defaults are per-arch from on-chip A/Bs (bench.py --[no-]prefix-stats,
+    # v5e batch 128 @ 320²): OFF for densenet121 (943 vs 775 img/s — XLA
+    # fuses the standard path's BN into the convs better, 110 vs 148 GB
+    # bytes-accessed per step) and ON for aadensenet121 (805 vs 753 img/s).
+    # None = use the arch's measured default; pass a bool to override (A/B).
+    # remat: rematerialized dense blocks (perf experiment; see DenseNet.remat).
     if name == "densenet121":
         return (
             DenseNet(32, (6, 12, 24, 16), 64, num_classes=n_classes, dtype=dtype,
-                     prefix_stats=prefix_stats),
+                     prefix_stats=bool(prefix_stats) if prefix_stats is not None else False,
+                     remat=remat),
             OptimizerSpec("adam"),
         )
     if name == "aadensenet121":
         attn = AttnParams(k=0.2, v=0.1, nh=8, relative=True, input_dims=(image_size, image_size))
         return (
             DenseNet(32, (6, 12, 24, 16), 64, num_classes=n_classes, attn=attn,
-                     dtype=dtype, attn_impl=attn_impl, prefix_stats=prefix_stats),
+                     dtype=dtype, attn_impl=attn_impl,
+                     prefix_stats=prefix_stats if prefix_stats is not None else True,
+                     remat=remat),
             OptimizerSpec("sgd_nesterov", "multistep", milestones=(40000, 60000)),
         )
     if name == "resnet152":
@@ -82,14 +91,17 @@ def build_model(
         # small debug arch (CPU-testable CLI runs; no reference equivalent)
         return (
             DenseNet(8, (2, 2), 16, num_classes=n_classes, dtype=dtype,
-                     prefix_stats=prefix_stats),
+                     prefix_stats=prefix_stats if prefix_stats is not None else True,
+                     remat=remat),
             OptimizerSpec("adam"),
         )
     if name == "aadensenet-tiny":
         attn = AttnParams(k=0.25, v=0.25, nh=2, relative=True, input_dims=(image_size, image_size))
         return (
             DenseNet(8, (2, 2), 16, num_classes=n_classes, attn=attn,
-                     dtype=dtype, attn_impl=attn_impl, prefix_stats=prefix_stats),
+                     dtype=dtype, attn_impl=attn_impl,
+                     prefix_stats=prefix_stats if prefix_stats is not None else True,
+                     remat=remat),
             OptimizerSpec("adam"),
         )
     raise RuntimeError(f"Model architecture not supported: {name}")

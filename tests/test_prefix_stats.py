@@ -50,12 +50,18 @@ def test_prefix_stats_identical():
 
 
 def test_registry_default_prefix_stats():
-    """The production DenseNet archs default to carried-stats blocks (the
-    bench headline measures this path); the flag is overridable for A/B."""
+    """Per-arch defaults follow the on-chip A/Bs (registry.py comment):
+    densenet121 is FASTER on the standard path (XLA fuses its BN into the
+    convs; carried stats measured 775 vs 943 img/s), aadensenet121 is faster
+    with carried stats (805 vs 753). The flag stays overridable for A/B."""
     from chexpert_tpu.models import build_model
 
-    for name in ("densenet121", "aadensenet121", "densenet-tiny"):
+    for name, default in (
+        ("densenet121", False),
+        ("aadensenet121", True),
+        ("densenet-tiny", True),
+    ):
         model, _ = build_model(name)
-        assert model.prefix_stats, name
-        model, _ = build_model(name, prefix_stats=False)
-        assert not model.prefix_stats, name
+        assert model.prefix_stats == default, name
+        model, _ = build_model(name, prefix_stats=not default)
+        assert model.prefix_stats == (not default), name
