@@ -184,13 +184,24 @@ def _fwd_kernel(qr_ref, k_ref, oh_ref, v_ref, o_ref, lse_ref,
     refs are full-array (legal regardless of tile size) and the kernel
     indexes the block row by (dynamic) sublane, which Mosaic allows.
 
-    dv1 (dvh == 1, aaresnet152's layer-2 — the zoo's hottest geometry):
-    P.v runs as a VPU multiply+lane-reduce instead of an N=1 MXU dot that
-    idles 127/128 result lanes."""
+    VPU->MXU offload: the kernel is VPU-bound at the AAConv geometries (the
+    logits dot is ~2 us of MXU work while softmax passes over the (tq, tk)
+    tile cost ~1 VPU op per element each — and an on-chip probe measured
+    exp at the SAME per-element rate as multiply, so only the op COUNT
+    matters). The softmax sum and P.V therefore ride the idle MXU as one
+    fused dot with a ones row/column folded into V, leaving max + exp as
+    the only per-element VPU passes:
+      dv1 (dvh == 1, aaresnet152's layer-2, nk == 1 — the zoo's hottest
+      geometry):   [v ; 1] (2, tk) . p^T  -> (2, tq) = [P.v ; sum(p)]
+      general:     p . [v | 1] (tk, dvh+1) -> (tq, dvh+1)
+    The dv1 nk > 1 fallback keeps the old VPU reduce (row-layout running
+    stats don't mix with the column-layout rescale chain; no production
+    geometry takes it — every tile candidate uses a full-length key block)."""
     qi = pl.program_id(1)
     nk = _cdiv(hw, tk)
     for g in range(G):
         qa = qr_ref[g]  # (tq, dkh+W+H), packed [q ; RW ; RH]
+        dt = qa.dtype
 
         m = l = acc = None
         for j in range(nk):
@@ -209,29 +220,47 @@ def _fwd_kernel(qr_ref, k_ref, oh_ref, v_ref, o_ref, lse_ref,
             if m is None:
                 m = bm
                 p = jnp.exp(s - m)
-                l = p.sum(axis=-1, keepdims=True)
                 alpha = None
             else:
                 m_new = jnp.maximum(m, bm)
                 alpha = jnp.exp(m - m_new)
                 p = jnp.exp(s - m_new)
-                l = l * alpha + p.sum(axis=-1, keepdims=True)
                 m = m_new
-            if dv1:
+            if dv1 and nk == 1:
                 vb_row = v_ref[g, pl.ds(j * 8, 1), :]  # (1, tk) row layout
+                v1 = jnp.concatenate(
+                    [vb_row.astype(dt), jnp.ones((1, tk), dt)], axis=0)
+                pvl = _dot_nt(v1, p.astype(dt))  # (2, tq) f32: [P.v ; sum]
+                acc, l = pvl[0:1], pvl[1:2]  # row layouts
+            elif dv1:
+                vb_row = v_ref[g, pl.ds(j * 8, 1), :]
                 pv = (p * vb_row.astype(jnp.float32)).sum(axis=-1, keepdims=True)
+                bl = p.sum(axis=-1, keepdims=True)
+                l = bl if l is None else l * alpha + bl
+                acc = pv if acc is None else acc * alpha + pv
             else:
                 vb = v_ref[g, pl.ds(j0, tk), :]
-                pv = _dot_nn(p.astype(vb.dtype), vb)
-            acc = pv if acc is None else acc * alpha + pv
+                v1 = jnp.concatenate(
+                    [vb, jnp.ones((tk, 1), vb.dtype)], axis=-1)
+                pvl = _dot_nn(p.astype(vb.dtype), v1)  # (tq, dvh+1)
+                pv, bl = pvl[:, :-1], pvl[:, -1:]
+                l = bl if l is None else l * alpha + bl
+                acc = pv if acc is None else acc * alpha + pv
 
-        if dv1:
+        if dv1 and nk == 1:
+            o_ref[g, pl.ds(qi * 8, 1), :] = (acc / l).astype(o_ref.dtype)
+            lse_ref[g, pl.ds(qi * 8, 1), :] = (
+                m.reshape(1, tq) + jnp.log(l)).astype(jnp.float32)
+        elif dv1:
             o_ref[g, pl.ds(qi * 8, 1), :] = (acc / l).reshape(1, tq).astype(o_ref.dtype)
+            lse_ref[g, pl.ds(qi * 8, 1), :] = (
+                (m + jnp.log(l)).astype(jnp.float32).reshape(1, tq)
+            )
         else:
             o_ref[g] = (acc / l).astype(o_ref.dtype)
-        lse_ref[g, pl.ds(qi * 8, 1), :] = (
-            (m + jnp.log(l)).astype(jnp.float32).reshape(1, tq)
-        )
+            lse_ref[g, pl.ds(qi * 8, 1), :] = (
+                (m + jnp.log(l)).astype(jnp.float32).reshape(1, tq)
+            )
 
 
 def _bwd_kernel(k_ref, oh_ref, v_ref, qr_ref, do_ref, lse_ref, delta_ref,
@@ -263,7 +292,7 @@ def _bwd_kernel(k_ref, oh_ref, v_ref, qr_ref, do_ref, lse_ref, delta_ref,
         # the query sweep: s recompute and dQ' are one MXU pass each
         kab = jnp.concatenate([k_ref[g], oh_ref[...]], axis=-1)  # (tk, dkh+W+H)
         if dv1:
-            vb_row = v_ref[g, pl.ds(ki * 8, 1), :].astype(jnp.float32)  # (1, tk)
+            vb_row = v_ref[g, pl.ds(ki * 8, 1), :]  # (1, tk) row layout
         else:
             vb = v_ref[g]  # (tk, dvh)
 
@@ -281,9 +310,16 @@ def _bwd_kernel(k_ref, oh_ref, v_ref, qr_ref, do_ref, lse_ref, delta_ref,
             p = jnp.exp(s - lse)  # (tq, tk)
 
             if dv1:
-                do_col = do_ref[g, pl.ds(i * 8, 1), :].astype(jnp.float32).reshape(tq, 1)
-                dv = dv + (p * do_col).sum(axis=0, keepdims=True)  # (1, tk)
-                dp = do_col * vb_row  # rank-1 outer product on the VPU
+                # same VPU->MXU offload as the forward: dv's masked
+                # column-reduce and dp's rank-1 outer product are each one
+                # MXU pass over the (tq, tk) tile, leaving exp + ds as the
+                # only per-element VPU work in the backward
+                do_row = do_ref[g, pl.ds(i * 8, 1), :]  # (1, tq) row layout
+                dv = dv + _dot_nn(do_row.astype(qa.dtype), p.astype(qa.dtype))
+                do_col = do_row.astype(jnp.float32).reshape(tq, 1)
+                dp = do_col * vb_row.astype(jnp.float32)  # rank-1 outer on
+                # the VPU (the K=1 MXU form measured SLOWER: operand padding
+                # + converts outweigh the saved multiply pass)
             else:
                 do = do_ref[g, pl.ds(i0, tq), :]
                 dv = dv + jax.lax.dot_general(
