@@ -201,7 +201,6 @@ def _fwd_kernel(qr_ref, k_ref, oh_ref, v_ref, o_ref, lse_ref,
     nk = _cdiv(hw, tk)
     for g in range(G):
         qa = qr_ref[g]  # (tq, dkh+W+H), packed [q ; RW ; RH]
-        dt = qa.dtype
 
         m = l = acc = None
         for j in range(nk):
@@ -227,10 +226,14 @@ def _fwd_kernel(qr_ref, k_ref, oh_ref, v_ref, o_ref, lse_ref,
                 p = jnp.exp(s - m_new)
                 m = m_new
             if dv1 and nk == 1:
+                # p stays f32: converting it to bf16 for the dot is a full
+                # (tq, tk) VPU pass, while casting the (2, tk) V-side operand
+                # up to f32 is ~tq/2 times cheaper and the MXU is idle anyway
                 vb_row = v_ref[g, pl.ds(j * 8, 1), :]  # (1, tk) row layout
                 v1 = jnp.concatenate(
-                    [vb_row.astype(dt), jnp.ones((1, tk), dt)], axis=0)
-                pvl = _dot_nt(v1, p.astype(dt))  # (2, tq) f32: [P.v ; sum]
+                    [vb_row.astype(jnp.float32),
+                     jnp.ones((1, tk), jnp.float32)], axis=0)
+                pvl = _dot_nt(v1, p)  # (2, tq) f32: [P.v ; sum]
                 acc, l = pvl[0:1], pvl[1:2]  # row layouts
             elif dv1:
                 vb_row = v_ref[g, pl.ds(j * 8, 1), :]
@@ -239,10 +242,13 @@ def _fwd_kernel(qr_ref, k_ref, oh_ref, v_ref, o_ref, lse_ref,
                 l = bl if l is None else l * alpha + bl
                 acc = pv if acc is None else acc * alpha + pv
             else:
+                # f32 dot for the same reason as above: converting the small
+                # (tk, dvh+1) V-side beats a (tq, tk) VPU pass over p
                 vb = v_ref[g, pl.ds(j0, tk), :]
                 v1 = jnp.concatenate(
-                    [vb, jnp.ones((tk, 1), vb.dtype)], axis=-1)
-                pvl = _dot_nn(p.astype(vb.dtype), v1)  # (tq, dvh+1)
+                    [vb.astype(jnp.float32),
+                     jnp.ones((tk, 1), jnp.float32)], axis=-1)
+                pvl = _dot_nn(p, v1)  # (tq, dvh+1)
                 pv, bl = pvl[:, :-1], pvl[:, -1:]
                 l = bl if l is None else l * alpha + bl
                 acc = pv if acc is None else acc * alpha + pv
@@ -315,7 +321,9 @@ def _bwd_kernel(k_ref, oh_ref, v_ref, qr_ref, do_ref, lse_ref, delta_ref,
                 # MXU pass over the (tq, tk) tile, leaving exp + ds as the
                 # only per-element VPU work in the backward
                 do_row = do_ref[g, pl.ds(i * 8, 1), :]  # (1, tq) row layout
-                dv = dv + _dot_nn(do_row.astype(qa.dtype), p.astype(qa.dtype))
+                # f32 dot: casting the (1, tq) row up beats a (tq, tk) VPU
+                # convert pass over p (the MXU is idle either way)
+                dv = dv + _dot_nn(do_row.astype(jnp.float32), p)
                 do_col = do_row.astype(jnp.float32).reshape(tq, 1)
                 dp = do_col * vb_row.astype(jnp.float32)  # rank-1 outer on
                 # the VPU (the K=1 MXU form measured SLOWER: operand padding
@@ -323,7 +331,7 @@ def _bwd_kernel(k_ref, oh_ref, v_ref, qr_ref, do_ref, lse_ref, delta_ref,
             else:
                 do = do_ref[g, pl.ds(i0, tq), :]
                 dv = dv + jax.lax.dot_general(
-                    p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
+                    p, do.astype(jnp.float32), (((0,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32)
                 dp = _dot_nt(do, vb)
             ds = (p * (dp - delta)).astype(qa.dtype)
