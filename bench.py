@@ -1,10 +1,16 @@
-"""Benchmark: DenseNet121 train step (fwd+bwd) images/sec on one TPU chip.
+"""Benchmark: train step (fwd+bwd) images/sec on one TPU chip.
 
 Prints ONE JSON line: {"metric": ..., "value": N, "unit": ..., "vs_baseline": N,
 "mfu": ..., "sweep": {...}, "baseline": {...}}.
 
-Default run sweeps batch sizes (16/32/64/128) and reports the best, plus
-model-FLOPs utilization (MFU) from XLA's cost analysis of the compiled step.
+Default run benches the flagship densenet121 over a batch sweep
+(16/32/64/128/256/512) and reports the best, plus model-FLOPs utilization
+(MFU) from XLA's cost analysis of the compiled step.
+
+`--model all` benches every README perf-table architecture at its recorded
+best batch (+ neighbors) and emits the whole table in one versioned JSON
+(`archs` field) — the regenerable artifact behind the README numbers
+(round-3 verdict task 3). The headline value stays densenet121's.
 
 vs_baseline grounding — the reference publishes no throughput numbers
 (SURVEY.md §6), so two anchors replace the old unexplained constant:
@@ -17,9 +23,10 @@ vs_baseline grounding — the reference publishes no throughput numbers
     deliberately favors the reference.
  2. MEASURED floor: scripts/measure_torch_baseline.py times the
     reference-equivalent torch train step on this host's CPU and records
-    BASELINE_TORCH_CPU.json; reported alongside when present.
+    BASELINE_TORCH_CPU.json (per-arch); reported alongside when present.
 
 Run:  python bench.py [--batch 32] [--steps 20] [--image-size 320]
+      python bench.py --model all [--out BENCH_all.json]
 """
 
 from __future__ import annotations
@@ -40,6 +47,19 @@ TPU_V5E_BF16_PEAK = 197e12  # TPU v5e bf16 peak FLOP/s (public spec)
 
 
 TPU_V5E_HBM_BW = 819e9     # TPU v5e HBM bandwidth B/s (public spec)
+
+# `--model all` table: every README perf-table row, at its recorded best
+# batch plus a neighbor (full sweeps for six archs would take hours on the
+# shared tunnel; the per-arch best batch was established by round-2/3 sweeps)
+ALL_ARCHS = [
+    # (model, image_size, batches)
+    ("densenet121", 320, [64, 128]),
+    ("resnet152", 320, [32, 64]),
+    ("aaresnet152", 320, [16, 32]),
+    ("aadensenet121", 320, [64, 128]),
+    ("efficientnet-b0", 320, [128, 256]),
+    ("efficientnet-b4", 380, [64, 128]),
+]
 
 
 def _cost_per_step(lowered_compiled):
@@ -68,31 +88,11 @@ def _measure(train_step, state, batch, steps: int):
     return state, final_loss, dt
 
 
-def main() -> int:
-    p = argparse.ArgumentParser()
-    p.add_argument("--batch", type=int, default=0,
-                   help="single batch size; default 0 = sweep 16/32/64/128")
-    p.add_argument("--steps", type=int, default=20)
-    p.add_argument("--warmup", type=int, default=5)
-    p.add_argument("--image-size", type=int, default=320)
-    p.add_argument("--model", default="densenet121")
-    p.add_argument("--prefix-stats", action="store_true",
-                   help="A/B: force carried-stats dense blocks ON")
-    p.add_argument("--no-prefix-stats", action="store_true",
-                   help="A/B: force carried-stats dense blocks OFF "
-                        "(default: the arch's measured registry default)")
-    p.add_argument("--remat", action="store_true",
-                   help="A/B: rematerialized dense blocks (recompute in bwd)")
-    args = p.parse_args()
-
-    from chexpert_tpu.models import build_model
-    from chexpert_tpu.utils.io import enable_compilation_cache
-    enable_compilation_cache()
-
-    # The tunneled dev TPU has outage windows (backend init blocks, then
-    # raises UNAVAILABLE). Probe in a subprocess (in-process init failures
-    # are cached by jax) and wait out short blips before committing this
-    # process to a backend.
+def wait_for_device():
+    """The tunneled dev TPU has outage windows (backend init blocks, then
+    raises UNAVAILABLE). Probe in a subprocess (in-process init failures
+    are cached by jax) and wait out short blips before committing this
+    process to a backend."""
     import subprocess
     for attempt in range(10):
         try:
@@ -103,23 +103,29 @@ def main() -> int:
         except subprocess.TimeoutExpired:
             ok = False
         if ok:
-            break
+            return
         print(f"device probe {attempt + 1} failed; retrying in 30s",
               file=sys.stderr)
         time.sleep(30)
 
+
+def bench_arch(model_name: str, image_size: int, batches, steps: int,
+               warmup: int, prefix_stats=None, remat: bool = False,
+               chunk: int = 0, fixed_steps: bool = False) -> dict:
+    """Bench one architecture over `batches`; returns the result record."""
+    from chexpert_tpu.models import build_model
     from chexpert_tpu.parallel.mesh import batch_sharding, create_mesh, replicated
     from chexpert_tpu.train import TrainState, init_model, jit_steps, make_optimizer
 
     dev = jax.devices()[0]
-    prefix_stats = True if args.prefix_stats else (
-        False if args.no_prefix_stats else None)  # None = arch default
-    model, spec = build_model(args.model, image_size=args.image_size,
-                              prefix_stats=prefix_stats, remat=args.remat)
+    # chunk_size implies the carried-stats path inside DenseBlock
+    model, spec = build_model(model_name, image_size=image_size,
+                              prefix_stats=prefix_stats, remat=remat,
+                              chunk_size=chunk or None)
     tx, _ = make_optimizer(spec, 1e-4)
 
     rng = jax.random.PRNGKey(0)
-    hw = args.image_size
+    hw = image_size
     params, stats = init_model(model, rng, (1, hw, hw, 3))
     state = TrainState.create(params, stats, tx)
 
@@ -140,7 +146,6 @@ def main() -> int:
         }
         return jax.device_put(b, batch_sharding(mesh))
 
-    batches = [args.batch] if args.batch else [16, 32, 64, 128, 256, 512]
     sweep, spreads, roofline, flops_per_img = {}, {}, {}, None
     for bs in batches:
         try:
@@ -161,7 +166,7 @@ def main() -> int:
                 continue
             raise
         first_loss = float(loss)
-        for _ in range(args.warmup - 1):
+        for _ in range(warmup - 1):
             state, loss = train_step(state, batch)
         float(loss)  # sync
         # bound sweep wall-clock: fewer timed steps at large batches.
@@ -169,13 +174,13 @@ def main() -> int:
         # platform's run-to-run noise is ~4-10% (953 r01 vs 916 r02 on
         # identical code), and the round-2 verdict flagged a best-of-2
         # headline with a 2% gate margin as fragile
-        steps = max(8, min(2 * args.steps, 1920 // bs)) if not args.batch else args.steps
+        n = steps if fixed_steps else max(8, min(2 * steps, 1920 // bs))
         dts = []
         for _ in range(3):
-            state, final_loss, dt = _measure(train_step, state, batch, steps)
+            state, final_loss, dt = _measure(train_step, state, batch, n)
             dts.append(dt)
         med = sorted(dts)[1]
-        sweep[bs] = round(bs * steps / med, 2)
+        sweep[bs] = round(bs * n / med, 2)
         spreads[bs] = round(100.0 * (max(dts) - min(dts)) / med, 1)
         # guards: a benchmark of a broken step is meaningless. The learning
         # check compares first vs final loss on the SAME batch (the repeated
@@ -192,48 +197,146 @@ def main() -> int:
         round(img_s * flops_per_img / TPU_V5E_BF16_PEAK, 4)
         if flops_per_img else None
     )
+    rec = {
+        "model": model_name,
+        "image_size": image_size,
+        "value": img_s,
+        "unit": "images/sec",
+        "best_batch": best_bs,
+        "spread_pct": spreads.get(best_bs),
+        "mfu": mfu,
+        "sweep": sweep,
+        "sweep_spread_pct": spreads,
+        "roofline": roofline,
+    }
+    if flops_per_img:
+        rec["train_gflops_per_image"] = round(flops_per_img / 1e9, 2)
+        rec["ref_bound_img_s"] = round(
+            V100_FP32_PEAK * REF_GENEROUS_MFU / flops_per_img, 1
+        )
+        rec["vs_baseline"] = round(img_s / rec["ref_bound_img_s"], 3)
+    return rec
+
+
+def _torch_cpu_baselines() -> dict:
+    cpu_json = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "BASELINE_TORCH_CPU.json")
+    if os.path.exists(cpu_json):
+        return json.load(open(cpu_json))
+    return {}
+
+
+def main() -> int:
+    p = argparse.ArgumentParser()
+    p.add_argument("--batch", type=int, default=0,
+                   help="single batch size; default 0 = sweep 16/32/64/128/256/512 "
+                        "(ignored with --model all)")
+    p.add_argument("--steps", type=int, default=20)
+    p.add_argument("--warmup", type=int, default=5)
+    p.add_argument("--image-size", type=int, default=320)
+    p.add_argument("--model", default="densenet121",
+                   help="architecture, or 'all' for the README perf-table set")
+    ps = p.add_mutually_exclusive_group()
+    ps.add_argument("--prefix-stats", action="store_true",
+                    help="A/B: force carried-stats dense blocks ON")
+    ps.add_argument("--no-prefix-stats", action="store_true",
+                    help="A/B: force carried-stats dense blocks OFF "
+                         "(default: the arch's measured registry default)")
+    p.add_argument("--remat", action="store_true",
+                   help="A/B: rematerialized dense blocks (recompute in bwd)")
+    p.add_argument("--chunk", type=int, default=0,
+                   help="A/B: chunked-prefix dense blocks — coalesce the "
+                        "prefix into N-channel chunks (implies carried "
+                        "stats; see models/densenet.py::ChunkedDenseLayer)")
+    p.add_argument("--out", default="",
+                   help="also write the full JSON to this path")
+    args = p.parse_args()
+
+    from chexpert_tpu.utils.io import enable_compilation_cache
+    enable_compilation_cache()
+    wait_for_device()
+
+    prefix_stats = True if args.prefix_stats else (
+        False if args.no_prefix_stats else None)  # None = arch default
+
+    if args.model == "all":
+        archs = {}
+        cpu = _torch_cpu_baselines()
+        for name, hw, batches in ALL_ARCHS:
+            rec = bench_arch(name, hw, batches, args.steps, args.warmup)
+            sub = cpu.get("archs", {}).get(name, cpu if name == "densenet121" else {})
+            if "img_s" in sub:
+                rec["measured_torch_cpu_img_s"] = sub["img_s"]
+            archs[name] = rec
+            print(f"[bench all] {name}@{hw}: {rec['value']} img/s "
+                  f"(batch {rec['best_batch']}, mfu {rec['mfu']})",
+                  file=sys.stderr)
+        head = archs["densenet121"]
+        result = {
+            "metric": "densenet121 train fwd+bwd images/sec/chip "
+                      "(headline; `archs` carries the full perf table)",
+            "value": head["value"],
+            "unit": "images/sec",
+            "vs_baseline": head.get("vs_baseline"),
+            "best_batch": head["best_batch"],
+            "mfu": head["mfu"],
+            "archs": archs,
+            "baseline": {
+                "basis": "V100 fp32 peak (15.7 TFLOP/s) x generous 40% MFU / "
+                         "train FLOPs per image from XLA cost analysis "
+                         "(torch-1.1 CUDA-9 reference era, fp32, no AMP); "
+                         "per-arch ref_bound_img_s inside each archs entry",
+            },
+        }
+        print(json.dumps(result))
+        if args.out:
+            json.dump(result, open(args.out, "w"), indent=1)
+        return 0
+
+    batches = [args.batch] if args.batch else [16, 32, 64, 128, 256, 512]
+    rec = bench_arch(args.model, args.image_size, batches, args.steps,
+                     args.warmup, prefix_stats=prefix_stats, remat=args.remat,
+                     chunk=args.chunk, fixed_steps=bool(args.batch))
 
     baseline = {
         "basis": "V100 fp32 peak (15.7 TFLOP/s) x generous 40% MFU / "
                  "train FLOPs per image from XLA cost analysis "
                  "(torch-1.1 CUDA-9 reference era, fp32, no AMP)",
     }
-    if flops_per_img:
-        baseline["ref_bound_img_s"] = round(
-            V100_FP32_PEAK * REF_GENEROUS_MFU / flops_per_img, 1
-        )
-        baseline["train_gflops_per_image"] = round(flops_per_img / 1e9, 2)
-    cpu_json = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                            "BASELINE_TORCH_CPU.json")
-    if os.path.exists(cpu_json):
-        baseline["measured_torch_cpu_img_s"] = json.load(open(cpu_json))["img_s"]
+    if "ref_bound_img_s" in rec:
+        baseline["ref_bound_img_s"] = rec["ref_bound_img_s"]
+        baseline["train_gflops_per_image"] = rec["train_gflops_per_image"]
+    cpu = _torch_cpu_baselines()
+    sub = cpu.get("archs", {}).get(args.model,
+                                   cpu if args.model == "densenet121" else {})
+    if "img_s" in sub:
+        baseline["measured_torch_cpu_img_s"] = sub["img_s"]
 
-    vs = round(img_s / baseline["ref_bound_img_s"], 3) if flops_per_img else None
-    print(
-        json.dumps(
-            {
-                "metric": f"{args.model} train fwd+bwd images/sec/chip "
-                          f"(best of batch sweep {batches}, {hw}x{hw}, bf16)",
-                "value": img_s,
-                "unit": "images/sec",
-                "vs_baseline": vs,
-                "best_batch": best_bs,
-                "spread_pct": spreads.get(best_bs),
-                "mfu": mfu,
-                "sweep": sweep,
-                "sweep_spread_pct": spreads,
-                # Bound analysis (VERDICT r2 task 2): arithmetic intensity is
-                # ~27-41 FLOP/B vs the v5e balance point of ~240 — the step
-                # is HBM-bandwidth-bound by architecture (DenseNet re-reads
-                # the growing concat features each layer), not by the
-                # implementation: at batch 128 the measured step sits within
-                # ~6% of even the floor derived from XLA's bytes-accessed
-                # UPPER bound on traffic. 16% "MFU" is the expected ceiling.
-                "roofline": roofline,
-                "baseline": baseline,
-            }
-        )
-    )
+    result = {
+        "metric": f"{args.model} train fwd+bwd images/sec/chip "
+                  f"(best of batch sweep {batches}, "
+                  f"{args.image_size}x{args.image_size}, bf16)",
+        "value": rec["value"],
+        "unit": "images/sec",
+        "vs_baseline": rec.get("vs_baseline"),
+        "best_batch": rec["best_batch"],
+        "spread_pct": rec["spread_pct"],
+        "mfu": rec["mfu"],
+        "sweep": rec["sweep"],
+        "sweep_spread_pct": rec["sweep_spread_pct"],
+        # Bound analysis (VERDICT r2 task 2): arithmetic intensity is
+        # ~27-41 FLOP/B vs the v5e balance point of ~240 — the step
+        # is HBM-bandwidth-bound by architecture (DenseNet re-reads
+        # the growing concat features each layer), not by the
+        # implementation: at batch 128 the measured step sits within
+        # ~6% of even the floor derived from XLA's bytes-accessed
+        # UPPER bound on traffic. 16% "MFU" is the expected ceiling.
+        "roofline": rec["roofline"],
+        "baseline": baseline,
+    }
+    print(json.dumps(result))
+    if args.out:
+        json.dump(result, open(args.out, "w"), indent=1)
     return 0
 
 

@@ -45,6 +45,7 @@ def build_model(
     attn_impl: str = "pallas",
     prefix_stats: Optional[bool] = None,
     remat: bool = False,
+    chunk_size: Optional[int] = None,
 ) -> Tuple[nn.Module, OptimizerSpec]:
     # prefix_stats: carried-stats dense blocks (models/densenet.py _PrefixBN)
     # — numerically identical (tests/test_prefix_stats.py), same param tree.
@@ -54,11 +55,17 @@ def build_model(
     # bytes-accessed per step) and ON for aadensenet121 (805 vs 753 img/s).
     # None = use the arch's measured default; pass a bool to override (A/B).
     # remat: rematerialized dense blocks (perf experiment; see DenseNet.remat).
+    if remat and "densenet" not in name:
+        raise ValueError(
+            f"remat=True is only consumed by the DenseNet family; {name!r} "
+            "would silently run the standard model while reporting 'remat'"
+        )
     if name == "densenet121":
         return (
             DenseNet(32, (6, 12, 24, 16), 64, num_classes=n_classes, dtype=dtype,
-                     prefix_stats=bool(prefix_stats) if prefix_stats is not None else False,
-                     remat=remat),
+                     prefix_stats=prefix_stats if prefix_stats is not None else False,
+                     remat=remat,
+                     chunk_size=chunk_size if chunk_size is not None else 0),
             OptimizerSpec("adam"),
         )
     if name == "aadensenet121":
@@ -67,7 +74,8 @@ def build_model(
             DenseNet(32, (6, 12, 24, 16), 64, num_classes=n_classes, attn=attn,
                      dtype=dtype, attn_impl=attn_impl,
                      prefix_stats=prefix_stats if prefix_stats is not None else True,
-                     remat=remat),
+                     remat=remat,
+                     chunk_size=chunk_size if chunk_size is not None else 0),
             OptimizerSpec("sgd_nesterov", "multistep", milestones=(40000, 60000)),
         )
     if name == "resnet152":
@@ -92,7 +100,8 @@ def build_model(
         return (
             DenseNet(8, (2, 2), 16, num_classes=n_classes, dtype=dtype,
                      prefix_stats=prefix_stats if prefix_stats is not None else True,
-                     remat=remat),
+                     remat=remat,
+                     chunk_size=chunk_size if chunk_size is not None else 0),
             OptimizerSpec("adam"),
         )
     if name == "aadensenet-tiny":
@@ -101,7 +110,8 @@ def build_model(
             DenseNet(8, (2, 2), 16, num_classes=n_classes, attn=attn,
                      dtype=dtype, attn_impl=attn_impl,
                      prefix_stats=prefix_stats if prefix_stats is not None else True,
-                     remat=remat),
+                     remat=remat,
+                     chunk_size=chunk_size if chunk_size is not None else 0),
             OptimizerSpec("adam"),
         )
     raise RuntimeError(f"Model architecture not supported: {name}")
