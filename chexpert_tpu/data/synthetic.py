@@ -9,6 +9,28 @@ equivalent of the reference's informal --mini_data debugging
 Labels are planted with a learnable signal: each pathology k brightens a
 distinct image region when positive, so models can overfit the fixture and
 convergence tests have something to converge on.
+
+Two difficulty regimes:
+  * default (label_noise=0, weak_frac=0): trivially separable — converged
+    models reach AUC 1.0. Good for smoke/convergence tests, useless as a
+    quality gate (round-3 verdict: a saturating gate only catches
+    catastrophic breakage).
+  * calibrated (label_noise>0, weak_frac>0): the gate fixture.
+      - label_noise flips each stored label with prob rho while the image
+        always reflects the TRUE label, capping a perfect model's observed
+        AUC at exactly 1-rho (flipped examples are feature-identical to
+        their true class, so they contribute 0/1 in reverse: AUC_obs =
+        rho + (1-2*rho)*AUC_true). Converged values land strictly below
+        1.0 and move ~linearly under a real quality regression.
+      - weak_frac of true positives get a WEAK band amplitude; in train
+        they are marked -1 (uncertain) with prob uncertain_frac — aligning
+        the uncertainty channel with visual ambiguity like the real
+        dataset's (dataset.py:139-142). Under U-Ones the model learns
+        weak band -> positive and ranks valid's weak positives correctly;
+        a broken mapping (U-Zeros) teaches weak band -> negative and
+        measurably craters AUC (the discriminability proof the round-3
+        gate lacked: feature-identical random mislabeling would leave
+        ranking, and thus AUC, unchanged).
 """
 
 from __future__ import annotations
@@ -29,8 +51,18 @@ def make_synthetic_dataset(
     seed: int = 0,
     views_per_study: int = 1,
     uncertain_frac: float = 0.0,
+    label_noise: float = 0.0,
+    weak_frac: float = 0.0,
+    strong_amp: float = 150.0,
+    weak_amp: float = 45.0,
 ) -> str:
-    """Write a synthetic dataset under root/CheXpert-v1.0-small. Returns root."""
+    """Write a synthetic dataset under root/CheXpert-v1.0-small. Returns root.
+
+    uncertain_frac: with weak_frac == 0, the probability a train positive is
+    stored as -1 (exercises U-Ones/U-Zeros plumbing). With weak_frac > 0, the
+    probability a WEAK train positive is stored as -1 (makes the policy
+    AUC-load-bearing — see module docstring).
+    """
     rng = np.random.RandomState(seed)
     base = os.path.join(root, DIR_NAME)
     os.makedirs(base, exist_ok=True)
@@ -41,13 +73,16 @@ def make_synthetic_dataset(
             patient = start_patient + i // views_per_study
             study = 1
             view = i % views_per_study + 1
-            labels = (rng.rand(len(ATTR_NAMES)) < 0.4).astype(np.float32)
-            # plant signal: pathology k brightens horizontal band k
+            true = (rng.rand(len(ATTR_NAMES)) < 0.4).astype(np.float32)
+            weak = rng.rand(len(ATTR_NAMES)) < weak_frac
+            # plant signal from the TRUE labels: pathology k brightens
+            # horizontal band k (weak positives get a fainter band)
             img = rng.randint(0, 60, size=(image_size, image_size)).astype(np.float32)
             band = image_size // len(ATTR_NAMES)
-            for k, on in enumerate(labels):
+            for k, on in enumerate(true):
                 if on:
-                    img[k * band : (k + 1) * band] += 150
+                    amp = weak_amp if weak[k] else strong_amp
+                    img[k * band : (k + 1) * band] += amp
             img = np.clip(img, 0, 255).astype(np.uint8)
 
             rel = f"{DIR_NAME}/{split}/patient{patient:05d}/study{study}/view{view}_frontal.jpg"
@@ -55,14 +90,22 @@ def make_synthetic_dataset(
             os.makedirs(os.path.dirname(fpath), exist_ok=True)
             Image.fromarray(img, mode="L").save(fpath, quality=95)
 
+            # stored labels: true labels through the noise channel
+            stored = true.copy()
+            if label_noise > 0:
+                flip = rng.rand(len(ATTR_NAMES)) < label_noise
+                stored = np.where(flip, 1.0 - stored, stored)
+
             row = {"Path": rel, "Sex": "Male", "Age": 60,
                    "Frontal/Lateral": "Frontal", "AP/PA": "AP"}
             for a in ATTR_ALL_NAMES:
                 row[a] = np.nan
             for k, a in enumerate(ATTR_NAMES):
-                v = float(labels[k])
-                if split == "train" and v == 1.0 and rng.rand() < uncertain_frac:
-                    v = -1.0  # uncertain label to exercise U-Ones/U-Zeros
+                v = float(stored[k])
+                if split == "train" and v == 1.0 and true[k] == 1.0:
+                    mark = weak[k] if weak_frac > 0 else True
+                    if mark and rng.rand() < uncertain_frac:
+                        v = -1.0  # uncertain label (U-Ones/U-Zeros channel)
                 row[a] = v
             rows.append(row)
 

@@ -136,3 +136,56 @@ def test_resize_path(data_root):
     assert arr.shape == (24, 24, 1)
     b = next(iter(Batches(valid, 4, image_size=48, resize=24, workers=2)))
     assert b["image"].shape == (4, 24, 24, 3)
+
+
+def test_calibrated_fixture_properties(tmp_path):
+    """Calibrated-difficulty fixture (the acceptance gate's): stored labels
+    are flipped at ~label_noise while images reflect TRUE labels; -1 marks
+    exactly the WEAK positives (so the U-Ones policy is AUC-load-bearing);
+    valid ships fully labeled."""
+    from PIL import Image
+
+    root = str(tmp_path / "cal")
+    make_synthetic_dataset(root, n_train=96, n_valid=48, image_size=40,
+                           label_noise=0.1, weak_frac=0.4, uncertain_frac=1.0)
+    base = os.path.join(root, DIR_NAME)
+    train = pd.read_csv(os.path.join(base, "train.csv"))
+    valid = pd.read_csv(os.path.join(base, "valid.csv"))
+
+    # valid: fully labeled 0/1 (no NaN/-1 in competition labels)
+    v = valid[list(ATTR_NAMES)].values
+    assert np.isin(v, [0.0, 1.0]).all()
+
+    band = 40 // len(ATTR_NAMES)
+
+    def band_means(df, split_root):
+        out = np.zeros((len(df), len(ATTR_NAMES)))
+        for i, p in enumerate(df["Path"]):
+            img = np.asarray(Image.open(os.path.join(split_root, p)), np.float32)
+            for k in range(len(ATTR_NAMES)):
+                out[i, k] = img[k * band:(k + 1) * band].mean()
+        return out
+
+    bm = band_means(train, root)
+    labels = train[list(ATTR_NAMES)].values
+    # image truth: background mean ~30; weak band ~+45, strong ~+150
+    truth = bm > 55.0
+    is_weak = (bm > 55.0) & (bm < 120.0)
+
+    # -1 marks exactly the weak positives (uncertain_frac=1.0) that were not
+    # noise-flipped to 0
+    marked = labels == -1.0
+    assert marked.any()
+    assert (~marked | is_weak).all(), "-1 on a non-weak-positive cell"
+
+    # stored-vs-true disagreement rate ~= label_noise (exclude -1 cells:
+    # their stored pre-mark value was 1 == truth by construction)
+    observable = ~marked
+    flips = (labels[observable] == 1.0) != truth[observable]
+    rate = flips.mean()
+    assert 0.04 < rate < 0.18, rate
+
+    # valid images carry weak positives too (the sabotage-detection channel)
+    bmv = band_means(valid, root)
+    vweak = (bmv > 55.0) & (bmv < 120.0)
+    assert (vweak & (valid[list(ATTR_NAMES)].values == 1.0)).any()
