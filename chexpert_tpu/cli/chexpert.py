@@ -271,6 +271,27 @@ class Runner:
         return sum(x.size for x in jax.tree_util.tree_leaves(self.state.params))
 
 
+def reread_pretrained_flag(cfg: Config) -> Config:
+    """pretrained flag re-read from saved config on restore
+    (chexpert.py:521-524 — "in case forgotten e.g. in post-training
+    evaluation"). The reference reads output_dir/config.json, which only
+    honors that intent when restoring INTO the original run dir; we prefer
+    the config saved next to the restore target itself (its run dir,
+    stepping out of best_checkpoints/), falling back to
+    output_dir/config.json."""
+    if not cfg.restore:
+        return cfg
+    run_dir = cfg.restore if os.path.isdir(cfg.restore) else os.path.dirname(cfg.restore)
+    if os.path.basename(os.path.normpath(run_dir)) == "best_checkpoints":
+        run_dir = os.path.dirname(os.path.normpath(run_dir))
+    for saved_cfg in (os.path.join(run_dir, "config.json"),
+                      os.path.join(cfg.output_dir, "config.json")):
+        if os.path.exists(saved_cfg):
+            return cfg.replace(
+                pretrained=load_json(saved_cfg).get("pretrained", cfg.pretrained))
+    return cfg
+
+
 def main(argv=None) -> int:
     cfg = config_from_args(argv)
     from chexpert_tpu.utils.io import enable_compilation_cache
@@ -291,11 +312,7 @@ def main(argv=None) -> int:
     writer = MetricsWriter(cfg.output_dir)
     writer.add_text("config", str(cfg.to_dict()))
 
-    # pretrained flag re-read from saved config on restore (chexpert.py:521-524)
-    if cfg.restore:
-        saved_cfg = os.path.join(cfg.output_dir, "config.json")
-        if os.path.exists(saved_cfg):
-            cfg = cfg.replace(pretrained=load_json(saved_cfg).get("pretrained", cfg.pretrained))
+    cfg = reread_pretrained_flag(cfg)
 
     runner = Runner(cfg)
     print(

@@ -45,6 +45,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--data_workers", type=int, default=8)
     p.add_argument("--debug", action="store_true",
                    help="Evaluate prediction output against the valid dataset.")
+    p.add_argument("--valid_data_path", default="",
+                   help="Dataset root holding the valid set for --debug "
+                        "(falls back to $CHEXPERT_TPU_DATA_DIR).")
     return p
 
 
@@ -118,7 +121,7 @@ def main(argv=None) -> int:
 
     if args.debug:
         # re-score against valid targets (predict.py:100-116)
-        data_dir = os.environ.get("CHEXPERT_TPU_DATA_DIR", "")
+        data_dir = args.valid_data_path or os.environ.get("CHEXPERT_TPU_DATA_DIR", "")
         vindex = ChexpertIndex(data_dir, "valid", download=False)
         targets = pd.DataFrame(
             data=vindex.all_labels(),
@@ -140,7 +143,7 @@ def main(argv=None) -> int:
         if joined.empty:
             raise RuntimeError(
                 "--debug: no overlapping studies between predictions and the "
-                "valid set — check data_path / CHEXPERT_TPU_DATA_DIR"
+                "valid set — check --valid_data_path / $CHEXPERT_TPU_DATA_DIR"
             )
         from chexpert_tpu.eval.metrics import compute_metrics
 
