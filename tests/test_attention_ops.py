@@ -324,6 +324,41 @@ def test_attention_pallas_dvh1_matches_einsum():
                                    err_msg=name)
 
 
+def test_attention_pallas_dvh1_multi_key_block(monkeypatch):
+    """dvh == 1 with nk > 1: the dv1 backward's restructured l/acc
+    accumulation over MULTIPLE key blocks (round-3 advisor finding — the
+    default tiles give nk == 1 for every dvh==1 test geometry, so the
+    multi-block branch could regress silently; tile overrides or
+    CHEXPERT_ATTN_VMEM_MB can select it in production)."""
+    import jax
+
+    monkeypatch.setenv("CHEXPERT_ATTN_TILES", "8,16")
+    rng = np.random.RandomState(17)
+    B, nh, H, W, dkh, dvh = 2, 2, 6, 5, 8, 1  # hw=30 pads beyond tk=16 -> nk>1
+    q = jnp.asarray(rng.randn(B, nh, H * W, dkh), jnp.float32)
+    k = jnp.asarray(rng.randn(B, nh, H * W, dkh), jnp.float32)
+    v = jnp.asarray(rng.randn(B, nh, H * W, dvh), jnp.float32)
+    rel_w = jnp.asarray(rng.randn(dkh, 2 * W - 1), jnp.float32)
+    rel_h = jnp.asarray(rng.randn(dkh, 2 * H - 1), jnp.float32)
+    tgt = jnp.asarray(rng.randn(B, nh, H * W, dvh), jnp.float32)
+
+    out = aa_attention_pallas(q, k, v, rel_w, rel_h, H, W)
+
+    def loss(fn):
+        def f(q, k, v, rw, rh):
+            return ((fn(q, k, v, rw, rh) - tgt) ** 2).sum()
+        return jax.grad(f, argnums=(0, 1, 2, 3, 4))
+
+    gp = loss(lambda *a: aa_attention_pallas(*a, H, W))(q, k, v, rel_w, rel_h)
+    monkeypatch.delenv("CHEXPERT_ATTN_TILES")
+    ref, _ = aa_attention_einsum(q, k, v, rel_w, rel_h, H, W)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-4)
+    ge = loss(lambda *a: aa_attention_einsum(*a, H, W)[0])(q, k, v, rel_w, rel_h)
+    for name, a, b in zip(["dq", "dk", "dv", "drel_w", "drel_h"], ge, gp):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-4,
+                                   err_msg=name)
+
+
 def test_relative_logits_compact_v2_matches_v1():
     """The transpose-free formulation must be numerically identical."""
     from chexpert_tpu.ops.attention import relative_logits_compact_v2
