@@ -111,7 +111,8 @@ def wait_for_device():
 
 def bench_arch(model_name: str, image_size: int, batches, steps: int,
                warmup: int, prefix_stats=None, remat: bool = False,
-               chunk: int = 0, fixed_steps: bool = False) -> dict:
+               chunk: int = 0, slim_bwd: bool = False,
+               fixed_steps: bool = False) -> dict:
     """Bench one architecture over `batches`; returns the result record."""
     from chexpert_tpu.models import build_model
     from chexpert_tpu.parallel.mesh import batch_sharding, create_mesh, replicated
@@ -121,7 +122,7 @@ def bench_arch(model_name: str, image_size: int, batches, steps: int,
     # chunk_size implies the carried-stats path inside DenseBlock
     model, spec = build_model(model_name, image_size=image_size,
                               prefix_stats=prefix_stats, remat=remat,
-                              chunk_size=chunk or None)
+                              chunk_size=chunk or None, slim_bwd=slim_bwd)
     tx, _ = make_optimizer(spec, 1e-4)
 
     rng = jax.random.PRNGKey(0)
@@ -248,6 +249,10 @@ def main() -> int:
                    help="A/B: chunked-prefix dense blocks — coalesce the "
                         "prefix into N-channel chunks (implies carried "
                         "stats; see models/densenet.py::ChunkedDenseLayer)")
+    p.add_argument("--slim-bwd", action="store_true",
+                   help="A/B: slim autodiff residuals for carried-stats "
+                        "dense layers (exclude the O(L^2) norm1+relu "
+                        "residual; recompute it in the backward)")
     p.add_argument("--out", default="",
                    help="also write the full JSON to this path")
     args = p.parse_args()
@@ -296,7 +301,8 @@ def main() -> int:
     batches = [args.batch] if args.batch else [16, 32, 64, 128, 256, 512]
     rec = bench_arch(args.model, args.image_size, batches, args.steps,
                      args.warmup, prefix_stats=prefix_stats, remat=args.remat,
-                     chunk=args.chunk, fixed_steps=bool(args.batch))
+                     chunk=args.chunk, slim_bwd=args.slim_bwd,
+                     fixed_steps=bool(args.batch))
 
     baseline = {
         "basis": "V100 fp32 peak (15.7 TFLOP/s) x generous 40% MFU / "

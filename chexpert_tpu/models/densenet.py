@@ -142,8 +142,15 @@ class PrefixDenseLayer(nn.Module):
 
     @nn.compact
     def __call__(self, x, mean, var, train: bool):
+        from jax.ad_checkpoint import checkpoint_name
+
         normed = _PrefixBN(x.shape[-1], self.dtype, name="norm1")([x], mean, var, train)[0]
-        y = nn.relu(normed)
+        # named for the slim-residuals remat policy (DenseBlock slim_bwd):
+        # this full-prefix-width tensor is the O(L^2) autodiff residual; it
+        # is a pure affine+relu of the SAVED concat and the tiny carried
+        # stats, so excluding it from the saved set trades its per-layer HBM
+        # write+read for a recompute that fuses into the backward's reads
+        y = checkpoint_name(nn.relu(normed), "dense_norm1_relu")
         y = conv(
             self.bn_size * self.growth_rate, 1, dtype=self.dtype,
             kernel_init=kaiming_normal_in_normal, name="conv1",
@@ -323,6 +330,9 @@ class DenseBlock(nn.Module):
     prefix_stats: bool = False
     chunk_size: int = 0  # with prefix_stats: coalesce segments into
     # chunk_size-channel chunks instead of one full concat (ChunkedDenseLayer)
+    slim_bwd: bool = False  # with prefix_stats: exclude the norm1+relu
+    # output (the O(L^2)-wide autodiff residual) from the saved set; the
+    # backward recomputes it as an affine of the saved concat + carried stats
 
     @nn.compact
     def __call__(self, x, train: bool):
@@ -330,6 +340,15 @@ class DenseBlock(nn.Module):
             def seg_stats(s):
                 s32 = s.astype(jnp.float32)
                 return s32.mean(axis=(0, 1, 2)), s32.var(axis=(0, 1, 2))
+
+            layer_cls = PrefixDenseLayer
+            if self.slim_bwd:
+                layer_cls = nn.remat(
+                    PrefixDenseLayer,
+                    policy=jax.checkpoint_policies.save_anything_except_these_names(
+                        "dense_norm1_relu"),
+                    static_argnums=(4,),  # train (self is 0)
+                )
 
             if train:
                 m0, v0 = seg_stats(x)
@@ -360,10 +379,12 @@ class DenseBlock(nn.Module):
                     push(y)
                 return jnp.concatenate(chunks + tail, axis=-1)
 
+            zero = jnp.zeros((), jnp.float32)  # eval: _PrefixBN ignores the
+            # carried stats (remat-friendly stand-in for None)
             for i in range(self.num_layers):
-                mean = jnp.concatenate(means) if train else None
-                var = jnp.concatenate(varis) if train else None
-                y = PrefixDenseLayer(
+                mean = jnp.concatenate(means) if train else zero
+                var = jnp.concatenate(varis) if train else zero
+                y = layer_cls(
                     self.growth_rate, self.bn_size, self.drop_rate, self.dtype,
                     name=f"denselayer{i + 1}",
                 )(x, mean, var, train)
@@ -431,6 +452,7 @@ class DenseNet(nn.Module):
     concat_free: bool = False  # segment-wise dense layers (see SegmentedDenseLayer)
     prefix_stats: bool = False  # carried-stats dense layers (see PrefixDenseLayer)
     chunk_size: int = 0  # with prefix_stats: chunked prefix (ChunkedDenseLayer)
+    slim_bwd: bool = False  # with prefix_stats: slim autodiff residuals (DenseBlock)
     remat: bool = False  # rematerialized dense blocks: save only block
     # boundaries, recompute layer intermediates in the backward. DenseNet
     # trains at 27-44 FLOP/byte vs the v5e balance point of ~240 (bench.py
@@ -474,6 +496,7 @@ class DenseNet(nn.Module):
                 num_layers, self.growth_rate, self.bn_size, self.drop_rate,
                 self.dtype, concat_free=self.concat_free,
                 prefix_stats=self.prefix_stats, chunk_size=self.chunk_size,
+                slim_bwd=self.slim_bwd,
                 name=f"denseblock{i + 1}",
             )(x, train)
             num_features += num_layers * self.growth_rate

@@ -46,6 +46,7 @@ def build_model(
     prefix_stats: Optional[bool] = None,
     remat: bool = False,
     chunk_size: Optional[int] = None,
+    slim_bwd: Optional[bool] = None,
 ) -> Tuple[nn.Module, OptimizerSpec]:
     # prefix_stats: carried-stats dense blocks (models/densenet.py _PrefixBN)
     # — numerically identical (tests/test_prefix_stats.py), same param tree.
@@ -65,7 +66,8 @@ def build_model(
             DenseNet(32, (6, 12, 24, 16), 64, num_classes=n_classes, dtype=dtype,
                      prefix_stats=prefix_stats if prefix_stats is not None else False,
                      remat=remat,
-                     chunk_size=chunk_size if chunk_size is not None else 0),
+                     chunk_size=chunk_size if chunk_size is not None else 0,
+                     slim_bwd=bool(slim_bwd)),
             OptimizerSpec("adam"),
         )
     if name == "aadensenet121":
@@ -75,7 +77,8 @@ def build_model(
                      dtype=dtype, attn_impl=attn_impl,
                      prefix_stats=prefix_stats if prefix_stats is not None else True,
                      remat=remat,
-                     chunk_size=chunk_size if chunk_size is not None else 0),
+                     chunk_size=chunk_size if chunk_size is not None else 0,
+                     slim_bwd=bool(slim_bwd)),
             OptimizerSpec("sgd_nesterov", "multistep", milestones=(40000, 60000)),
         )
     if name == "resnet152":
@@ -101,7 +104,8 @@ def build_model(
             DenseNet(8, (2, 2), 16, num_classes=n_classes, dtype=dtype,
                      prefix_stats=prefix_stats if prefix_stats is not None else True,
                      remat=remat,
-                     chunk_size=chunk_size if chunk_size is not None else 0),
+                     chunk_size=chunk_size if chunk_size is not None else 0,
+                     slim_bwd=bool(slim_bwd)),
             OptimizerSpec("adam"),
         )
     if name == "aadensenet-tiny":
@@ -111,7 +115,8 @@ def build_model(
                      dtype=dtype, attn_impl=attn_impl,
                      prefix_stats=prefix_stats if prefix_stats is not None else True,
                      remat=remat,
-                     chunk_size=chunk_size if chunk_size is not None else 0),
+                     chunk_size=chunk_size if chunk_size is not None else 0,
+                     slim_bwd=bool(slim_bwd)),
             OptimizerSpec("adam"),
         )
     raise RuntimeError(f"Model architecture not supported: {name}")

@@ -1,10 +1,14 @@
-"""Aggregate a jax.profiler trace's TPU op durations by category.
+"""Aggregate a jax.profiler trace's TPU op durations by HLO category.
 
-    python scripts/analyze_trace.py /tmp/aares_trace [top_n]
+    python scripts/analyze_trace.py /tmp/aares_trace [top_n] [steps]
 
-Finds the newest *.trace.json.gz under the dir, keeps TensorCore-lane events,
-and reports total device time per op-name bucket (fusion kinds, transposes/
-copies, custom calls, convolutions) plus the top individual ops. Used to
+Finds the newest *.trace.json.gz under the dir and aggregates op events by
+the profiler's own `hlo_category` metadata (convolution fusion, loop fusion,
+concatenate, copy, ...), with per-category `bytes_accessed` so achieved HBM
+bandwidth per category is visible (duration vs bytes separates MXU-bound
+from traffic-bound from overhead-bound ops). Also prints the top individual
+ops with their HLO long names (shapes + layouts). `steps` (default 3, the
+profile scripts' trace window) divides totals into per-step numbers. Used to
 attribute train-step time between MXU work and XLA layout glue.
 """
 
@@ -15,11 +19,12 @@ import glob
 import gzip
 import json
 import os
-import re
 import sys
 
+TPU_V5E_HBM_BW = 819e9  # B/s
 
-def load_events(trace_dir: str):
+
+def load_hlo_events(trace_dir: str):
     paths = sorted(
         glob.glob(os.path.join(trace_dir, "**", "*.trace.json.gz"), recursive=True),
         key=os.path.getmtime,
@@ -27,56 +32,46 @@ def load_events(trace_dir: str):
     assert paths, f"no trace.json.gz under {trace_dir}"
     with gzip.open(paths[-1], "rt") as f:
         data = json.load(f)
-    events = data["traceEvents"]
-    # find TensorCore pids (XLA op lanes live under "/device:TPU" tracks)
-    tpu_pids = set()
-    for e in events:
-        if e.get("ph") == "M" and e.get("name") == "process_name":
-            name = e.get("args", {}).get("name", "")
-            if "TPU" in name and "XLA" not in name:
-                tpu_pids.add(e["pid"])
     rows = []
-    for e in events:
-        if e.get("ph") == "X" and e.get("pid") in tpu_pids and "dur" in e:
-            rows.append((e["name"], e["dur"]))
+    for e in data["traceEvents"]:
+        args = e.get("args", {})
+        if e.get("ph") == "X" and "hlo_category" in args:
+            rows.append((
+                e["name"], e["dur"], args["hlo_category"],
+                int(args.get("bytes_accessed", 0)),
+                args.get("long_name", ""),
+            ))
     return rows, paths[-1]
-
-
-CATS = [
-    ("pallas_attention", re.compile(r"hm\.|custom-call|tpu_custom_call|pallas")),
-    ("convolution", re.compile(r"convolution|conv")),
-    ("transpose/copy", re.compile(r"transpose|copy")),
-    ("rel einsum (dot)", re.compile(r"dot")),
-    ("fusion", re.compile(r"fusion")),
-    ("dynamic/slice/concat/pad", re.compile(r"slice|concatenate|pad|reshape|bitcast")),
-]
-
-
-def categorize(name: str) -> str:
-    low = name.lower()
-    for cat, rx in CATS:
-        if rx.search(low):
-            return cat
-    return "other"
 
 
 def main() -> None:
     trace_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/aares_trace"
     top_n = int(sys.argv[2]) if len(sys.argv) > 2 else 25
-    rows, path = load_events(trace_dir)
-    print(f"# {path}: {len(rows)} TensorCore events")
-    by_cat = collections.Counter()
-    by_op = collections.Counter()
-    for name, dur in rows:
-        by_cat[categorize(name)] += dur
-        by_op[name] += dur
-    total = sum(by_cat.values())
-    print(f"total device time: {total/1e3:.2f} ms")
-    for cat, dur in by_cat.most_common():
-        print(f"  {cat:26s} {dur/1e3:9.2f} ms  {100*dur/total:5.1f}%")
-    print(f"\ntop {top_n} ops:")
-    for name, dur in by_op.most_common(top_n):
-        print(f"  {dur/1e3:9.2f} ms  {name[:110]}")
+    steps = int(sys.argv[3]) if len(sys.argv) > 3 else 3
+    rows, path = load_hlo_events(trace_dir)
+    print(f"# {path}: {len(rows)} HLO op events / {steps} steps")
+    by_cat_dur = collections.Counter()
+    by_cat_bytes = collections.Counter()
+    by_op = {}
+    for name, dur, cat, byt, long_name in rows:
+        by_cat_dur[cat] += dur
+        by_cat_bytes[cat] += byt
+        if name not in by_op:
+            by_op[name] = [0, byt, cat, long_name]
+        by_op[name][0] += dur
+    total = sum(by_cat_dur.values())
+    print(f"device time: {total/steps/1e3:.2f} ms/step, "
+          f"{sum(by_cat_bytes.values())/steps/1e9:.1f} GB/step")
+    print(f"  {'category':26s} {'ms/step':>8s} {'%':>6s} {'GB/step':>8s} {'GB/s':>6s}")
+    for cat, dur in by_cat_dur.most_common():
+        b = by_cat_bytes[cat]
+        bw = b / (dur * 1e-6) / 1e9 if dur else 0.0
+        print(f"  {cat:26s} {dur/steps/1e3:8.2f} {100*dur/total:6.1f} "
+              f"{b/steps/1e9:8.2f} {bw:6.0f}")
+    print(f"\ntop {top_n} ops (dur/step, bytes/call, category, long name):")
+    for name, (dur, byt, cat, ln) in sorted(
+            by_op.items(), key=lambda kv: -kv[1][0])[:top_n]:
+        print(f"  {dur/steps/1e3:7.2f} ms {byt/1e9:6.2f} GB  {cat:20s} {ln[:110]}")
 
 
 if __name__ == "__main__":
