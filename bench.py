@@ -328,8 +328,21 @@ def main() -> int:
         "best_batch": rec["best_batch"],
         "spread_pct": rec["spread_pct"],
         "mfu": rec["mfu"],
+        # headline at a PINNED batch alongside best-of (round-3 verdict: a
+        # headline defined as best-of-a-nonmonotonic-sweep on a drifting
+        # link is softer than it looks). 128 is the stable optimum.
+        "pinned_batch": 128,
+        "pinned_img_s": rec["sweep"].get(128),
         "sweep": rec["sweep"],
         "sweep_spread_pct": rec["sweep_spread_pct"],
+        # The non-monotonic sweep (dip at batch 64) is a LAYOUT-ASSIGNMENT
+        # flip, traced r4: at batch 64 XLA lays the 80x80-stage maps out
+        # C-minor ({3,0,2,1}), which keeps the per-layer concats as separate
+        # half-bandwidth ops; at 128 it picks {0,3,2,1} and fuses them into
+        # the stat/conv fusions. Per-image traffic: 845 vs 761 MB (+11%),
+        # matching the -12% dip (scripts/analyze_trace.py on the two traces).
+        "sweep_note": "batch-64 dip = XLA layout flip at the 80x80 stage "
+                      "(C-minor keeps concats unfused; +11% bytes/img)",
         # Bound analysis (VERDICT r2 task 2): arithmetic intensity is
         # ~27-41 FLOP/B vs the v5e balance point of ~240 — the step
         # is HBM-bandwidth-bound by architecture (DenseNet re-reads

@@ -153,7 +153,23 @@ def relative_logits_compact_bd(
 
     ih = jnp.arange(H)
     rel_h_abs = rel_h[:, ih[None, :] - ih[:, None] + H - 1]  # (d, h, m)
-    if os.environ.get("CHEXPERT_REL_H") == "bcast":
+    if os.environ.get("CHEXPERT_REL_H") == "bdt":
+        # pre-transposed block-diagonal form (round-4 A/B): transpose q to
+        # (B, nh, W, H, d) so h becomes ADJACENT-major to the contracted d,
+        # run the same BD matmul as the width side, transpose the result
+        # back. Trades the batched einsum's hidden batch-major copies of q
+        # AND its 5-D output for two EXPLICIT transposes of the same arrays
+        # — a win iff XLA schedules the explicit forms better (measured
+        # on-chip via CHEXPERT_REL_H=bdt).
+        qT = q2d.transpose(0, 1, 3, 2, 4)  # (B, nh, W, H, d)
+        eyeh = jnp.eye(H, dtype=q2d.dtype)
+        bdh = jnp.einsum("hg,dhm->hdgm", eyeh, rel_h_abs).reshape(H * dkh, H * H)
+        rhT = jnp.einsum(
+            "bnwk,kc->bnwc", qT.reshape(B, nh, W, H * dkh), bdh,
+            preferred_element_type=jnp.float32,
+        ).astype(q2d.dtype).reshape(B, nh, W, H, H)  # cols (h', m) -> token rows
+        rh = rhT.transpose(0, 1, 3, 2, 4).reshape(B, nh, H * W, H)
+    elif os.environ.get("CHEXPERT_REL_H") == "bcast":
         # rh[b,n,h,w,m] = sum_d q[b,n,h,w,d] * rel_h_abs[d,h,m]; elementwise
         # broadcast + reduce over the minor d keeps natural layouts but puts
         # the contraction on the VPU — measured SLOWER on-chip than the

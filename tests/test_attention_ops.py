@@ -404,3 +404,36 @@ def test_relative_logits_compact_bd_matches_v1():
     for name, a, b in zip(["dq", "drel_w", "drel_h"], g1, g2):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=1e-4,
                                    err_msg=name)
+
+
+@pytest.mark.parametrize("impl", ["bdt", "bcast"])
+def test_relative_logits_compact_bd_height_variants(impl, monkeypatch):
+    """The height-side alternatives behind CHEXPERT_REL_H (pre-transposed
+    block-diagonal 'bdt', broadcast-reduce 'bcast') must match the einsum
+    ground truth, values and gradients, including rectangular H != W."""
+    import jax
+
+    from chexpert_tpu.ops.attention import relative_logits_compact_bd
+
+    monkeypatch.setenv("CHEXPERT_REL_H", impl)
+    rng = np.random.RandomState(18)
+    B, nh, H, W, dkh = 2, 3, 4, 5, 6
+    q = jnp.asarray(rng.randn(B, nh, H, W, dkh), jnp.float32)
+    rel_w = jnp.asarray(rng.randn(dkh, 2 * W - 1), jnp.float32)
+    rel_h = jnp.asarray(rng.randn(dkh, 2 * H - 1), jnp.float32)
+    rw1, rh1 = relative_logits_compact(q, rel_w, rel_h)
+    rw2, rh2 = relative_logits_compact_bd(q, rel_w, rel_h)
+    np.testing.assert_allclose(np.asarray(rw2), np.asarray(rw1), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(rh2), np.asarray(rh1), atol=1e-5)
+
+    def loss(fn):
+        def f(q, rel_w, rel_h):
+            rw, rh = fn(q, rel_w, rel_h)
+            return (rw**2).sum() + 0.5 * (rh**2).sum()
+        return jax.grad(f, argnums=(0, 1, 2))
+
+    g1 = loss(relative_logits_compact)(q, rel_w, rel_h)
+    g2 = loss(relative_logits_compact_bd)(q, rel_w, rel_h)
+    for name, a, b in zip(["dq", "drel_w", "drel_h"], g1, g2):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-5, atol=1e-4, err_msg=name)
