@@ -17,9 +17,11 @@ TPU-native differences:
 
 from __future__ import annotations
 
+import os
 from typing import Tuple
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from chexpert_tpu.models.common import Dtype, conv, kaiming_normal_out_normal
@@ -32,6 +34,54 @@ def attn_dims(k: float, v: float, nh: int, channels: int, min_dk_per_head: int =
     dk = max(min_dk_per_head * nh, int((k * channels // nh) * nh))
     dv = int((v * channels // nh) * nh)
     return dk, dv
+
+
+class _PackedQKVConv(nn.Module):
+    """The 1x1 qkv projection (reference attn_aug_conv.py:35), optionally
+    emitting output channels in the HIL kernel's packed per-head order
+    [q_h ; k_h ; v_h] with the q-scale dkh**-0.5 folded in.
+
+    The reorder happens on the WEIGHT's output-channel axis at apply time —
+    a (1, 1, Cin, 2dk+dv) gather, ~42k elements — so the conv output IS the
+    kernel operand and no data-sized pack/transpose op exists anywhere on
+    the qkv path (a head-split transpose or an output-channel permutation
+    of the activations costs a full-tensor relayout copy; profiled at
+    ~1/4 of an aaresnet152 train step across its 47 attention layers).
+
+    Param tree matches the plain conv exactly (submodule name set by the
+    caller, param 'kernel', same shape/init/dtype), so checkpoints, the
+    torch importer, and the einsum/bn paths (packed=False) are unaffected.
+    """
+
+    dk: int
+    dv: int
+    nh: int
+    strides: int
+    packed: bool
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        feats = 2 * self.dk + self.dv
+        kernel = self.param(
+            "kernel", kaiming_normal_out_normal, (1, 1, x.shape[-1], feats),
+            jnp.float32)
+        if self.packed:
+            import numpy as np
+
+            dkh, dvh = self.dk // self.nh, self.dv // self.nh
+            perm, scale = [], []
+            for h in range(self.nh):
+                perm += list(range(h * dkh, (h + 1) * dkh))              # q_h
+                perm += list(range(self.dk + h * dkh, self.dk + (h + 1) * dkh))
+                perm += list(range(2 * self.dk + h * dvh, 2 * self.dk + (h + 1) * dvh))
+                scale += [dkh ** -0.5] * dkh + [1.0] * (dkh + dvh)
+            kernel = kernel[..., np.array(perm)] * jnp.asarray(
+                scale, kernel.dtype)
+        return jax.lax.conv_general_dilated(
+            x.astype(self.dtype), kernel.astype(self.dtype),
+            (self.strides, self.strides), "VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
 
 
 class AAConv2d(nn.Module):
@@ -54,28 +104,31 @@ class AAConv2d(nn.Module):
         dkh, dvh = dk // nh, dv // nh
         H, W = self.input_dims
 
-        # qkv projection: 1x1 conv, stride applied here
-        # (reference attn_aug_conv.py:35)
-        qkv = conv(
-            2 * dk + dv, 1, self.strides, use_bias=False, dtype=self.dtype, name="in_proj_qkv"
+        # layout selection: "bn" = batch×head grid kernel (default; fastest
+        # measured on aaresnet152: 147-150 img/s vs HIL's 140 — see README
+        # "Heads-in-lanes A/B"), "hil" = token-major heads-in-lanes kernel
+        # (zero layout ops on the attention path; opt-in pending a win)
+        use_pallas = self.attn_impl == "pallas" and not capture_weights
+        if use_pallas and os.environ.get("CHEXPERT_ATTN_LAYOUT", "bn") == "hil":
+            from chexpert_tpu.ops.pallas_attention import hil_supported
+
+            if not hil_supported(H * W, nh, dkh, dvh, (W + H) if self.relative else 0,
+                                 jnp.dtype(self.dtype).itemsize):
+                use_pallas = "bn"
+        else:
+            use_pallas = "bn" if use_pallas else False
+
+        # qkv projection: 1x1 conv, stride applied here (reference
+        # attn_aug_conv.py:35); packed=True emits the HIL channel order
+        qkv = _PackedQKVConv(
+            dk, dv, nh, self.strides, packed=use_pallas is True,
+            dtype=self.dtype, name="in_proj_qkv",
         )(x)
         B, Hq, Wq, _ = qkv.shape
         assert (Hq, Wq) == (H, W), (
             f"AAConv2d configured for {H}x{W} attention map, got {Hq}x{Wq}; "
             "input_dims must match the post-stride feature size"
         )
-        q, k, v = jnp.split(qkv, [dk, 2 * dk], axis=-1)
-
-        # (B, H, W, nh*dh) -> (B, nh, HW, dh); channel-major head split to
-        # mirror the reference reshape (attn_aug_conv.py:71-73) so imported
-        # weights see identical head boundaries
-        def to_heads(t, dh):
-            t = t.reshape(B, H * W, nh, dh)
-            return t.transpose(0, 2, 1, 3)
-
-        q = to_heads(q, dkh) * (dkh ** -0.5)
-        k = to_heads(k, dkh)
-        v = to_heads(v, dvh)
 
         rel_w = rel_h = None
         if self.relative:
@@ -86,19 +139,44 @@ class AAConv2d(nn.Module):
             rel_h = self.param("key_rel_h", rel_init, (dkh, 2 * H - 1))
             rel_w = self.param("key_rel_w", rel_init, (dkh, 2 * W - 1))
 
-        if self.attn_impl == "pallas" and not capture_weights:
-            from chexpert_tpu.ops.pallas_attention import aa_attention_pallas
+        if use_pallas is True:
+            # heads-in-lanes path: the projection already emitted packed
+            # per-head [q;k;v] lanes with q pre-scaled, and the kernel's
+            # output lane order (head, dvh) is out_proj's channel order —
+            # zero layout ops on the whole attention path
+            from chexpert_tpu.ops.pallas_attention import aa_attention_hil_packed
 
-            attn_out = aa_attention_pallas(q, k, v, rel_w, rel_h, H, W)
+            attn_out = aa_attention_hil_packed(
+                qkv.reshape(B, H * W, 2 * dk + dv), rel_w, rel_h, H, W, dkh, dvh
+            ).reshape(B, H, W, dv)
         else:
-            attn_out, weights = aa_attention_einsum(
-                q, k, v, rel_w, rel_h, H, W, return_weights=capture_weights
-            )
-            if capture_weights:
-                self.sow("intermediates", "attn_weights", weights)
+            # head-major layouts: (B, H, W, nh*dh) -> (B, nh, HW, dh);
+            # channel-major head split to mirror the reference reshape
+            # (attn_aug_conv.py:71-73) so imported weights see identical
+            # head boundaries
+            q, k, v = jnp.split(qkv, [dk, 2 * dk], axis=-1)
 
-        # (B, nh, HW, dvh) -> (B, H, W, dv); inverse of to_heads
-        attn_out = attn_out.transpose(0, 2, 1, 3).reshape(B, H, W, dv)
+            def to_heads(t, dh):
+                t = t.reshape(B, H * W, nh, dh)
+                return t.transpose(0, 2, 1, 3)
+
+            qh = to_heads(q, dkh) * (dkh ** -0.5)
+            kh = to_heads(k, dkh)
+            vh = to_heads(v, dvh)
+
+            if use_pallas == "bn":
+                from chexpert_tpu.ops.pallas_attention import aa_attention_pallas
+
+                attn_out = aa_attention_pallas(qh, kh, vh, rel_w, rel_h, H, W)
+            else:
+                attn_out, weights = aa_attention_einsum(
+                    qh, kh, vh, rel_w, rel_h, H, W, return_weights=capture_weights
+                )
+                if capture_weights:
+                    self.sow("intermediates", "attn_weights", weights)
+
+            # (B, nh, HW, dvh) -> (B, H, W, dv); inverse of to_heads
+            attn_out = attn_out.transpose(0, 2, 1, 3).reshape(B, H, W, dv)
         attn_out = conv(dv, 1, 1, use_bias=False, dtype=self.dtype, name="out_proj")(
             attn_out.astype(self.dtype)
         )

@@ -589,6 +589,512 @@ def _flash_bwd_rule(H: int, W: int, res, dout):
 _flash_attention.defvjp(_flash_fwd_rule, _flash_bwd_rule)
 
 
+# ---------------------------------------------------------------------------
+# heads-in-lanes (HIL) kernels
+#
+# The bn-grid kernels above take HEAD-MAJOR operands (B, nh, hw, dh), which
+# forces XLA to materialize head-split transposes of q/k/v around every call
+# (and head-merge transposes of out/grads): profiled at 27.8 ms/step — 26.5%
+# — of an aaresnet152 train step, all in sub-128-lane relayout copies running
+# at ~235 GB/s. The HIL layout keeps everything TOKEN-MAJOR:
+#
+#   P   (B, hwp, nh*S), S = 2*dkh + dvh — per-head lane slots [q ; k ; v],
+#       built by FREE reshapes of the 1x1-conv qkv output (channel-major
+#       head split == lane-slot split; no transpose exists anywhere);
+#   rel (B, nh, hwp, W+H) — compact [RW ; RH] stays head-major, the layout
+#       the block-diagonal rel einsum produces (ops/attention.py), so its
+#       gradient is also born head-major for the BD VJP;
+#   out (B, hwp, nh*dvh) — lane order (head, dvh) == the channel order
+#       out_proj expects: the kernel output reshapes straight into the next
+#       1x1 conv.
+#
+# Grid is (B, nq); the head loop moves INSIDE the kernel (static unroll, nh
+# lane-slot slices — slicing lanes is free compared to the HBM relayouts it
+# replaces). Math per head is identical to the bn kernels: one MXU pass
+# computes [q;RW;RH].[k;onehots]^T per tile with an online softmax, and the
+# backward's ds.[k;onehots] yields [dq;dRW;dRH] in one pass.
+#
+# The packed P also halves kernel HBM traffic vs the bn layout: q and k no
+# longer stream as separate (.., dkh=20)->128-lane-padded arrays.
+# ---------------------------------------------------------------------------
+
+
+
+def _hil_slot(dkh: int, dvh: int) -> int:
+    """Lane stride of one head's [q ; k ; v] slot in the packed operand.
+    Tight by default (2*dkh+dvh); CHEXPERT_ATTN_HIL_SLOT=pad128 pads each
+    slot to 128 lanes so every per-head slice is tile-aligned (compile-time
+    / relayout A-B experiment; costs HBM bytes)."""
+    S = 2 * dkh + dvh
+    if os.environ.get("CHEXPERT_ATTN_HIL_SLOT") == "pad128":
+        return _cdiv(S, 128) * 128
+    return S
+
+
+def _hil_vmem_est(hw, hwp, tq, ck, nh, dkh, dvh, wh, it):
+    """(fwd_bytes, bwd_bytes) estimated per-program VMEM residents for the
+    HIL kernels. Lanes pad to 128 in VMEM; 1.5x covers double-buffering and
+    temporaries (same calibration as _bwd_bytes_est)."""
+    def lanes(d):
+        return _cdiv(max(d, 1), 128) * 128
+
+    S = _hil_slot(dkh, dvh)
+    nq = hwp // tq
+    kview = hwp * lanes(nh * S) * it          # full-length packed keys
+    qview = tq * lanes(nh * S) * it
+    relq = nh * tq * lanes(wh) * it if wh else 0
+    oh = hwp * lanes(wh) * it if wh else 0
+    lse_blk = nh * ROW_SUB * tq * 4
+    out_blk = tq * lanes(nh * dvh) * it
+    fwd = kview + qview + relq + oh + out_blk + lse_blk + (
+        2 * tq * ck * 4                        # s / p tiles
+        + tq * lanes(nh * (dvh + 2)) * 4       # online-softmax carries
+    )
+    bwd = kview + qview + relq + oh + 2 * lse_blk + out_blk + (
+        3 * tq * ck * 4                        # s / p / ds tiles
+        + tq * lanes(nh * (dkh + wh)) * 4      # [dq;dRW;dRH] f32 carry
+        + tq * lanes(nh * dkh) * it            # dq out block
+        + (nh * tq * lanes(wh) * it if wh else 0)   # drel out block
+        + hwp * lanes(nh * (dkh + dvh)) * it   # dk/dv resident accumulator
+    )
+    return int(fwd * 1.5), int(bwd * 1.5)
+
+
+def _hil_geometry(hw, nh, dkh, dvh, wh, it):
+    """Largest VMEM-feasible (tq, ck_fwd, ck_bwd, hwp) for the HIL kernels,
+    or None. tq: query rows per program (shared by fwd and bwd — the lse /
+    delta row layouts depend on it); ck_*: key-chunk lengths, chosen
+    independently (the backward's three f32 tiles + accumulators leave less
+    room, and ck == hwp means one single-pass key block with no online
+    rescale chain)."""
+    override = os.environ.get("CHEXPERT_ATTN_HIL_TILES")
+    if override:
+        parts = [int(t) for t in override.split(",")]
+        tq, ckf, ckb = parts if len(parts) == 3 else (parts[0], parts[1], parts[1])
+        hwp = _cdiv(hw, max(tq, ckf, ckb)) * max(tq, ckf, ckb)
+        return tq, ckf, ckb, hwp
+    if hw <= 256:
+        t = _round8(hw)
+        return t, t, t, t
+    # candidates ordered by (padding waste, then bigger query tiles): the
+    # kernel is padding-sensitive (hwp^2 work) and per-program-cost-sensitive
+    cands = sorted(
+        ((_cdiv(hw, tq) * tq, -tq, tq)
+         for tq in (512, 448, 400, 320, 256, 200, 160, 128, 96, 64)),
+    )
+    for hwp, _, tq in cands:
+        ckf = ckb = None
+        ck = hwp
+        while ck % 8 == 0 and ck >= tq:
+            if hwp % ck == 0:
+                f, b = _hil_vmem_est(hw, hwp, tq, ck, nh, dkh, dvh, wh, it)
+                if ckf is None and f < _VMEM_BUDGET:
+                    ckf = ck
+                if ckb is None and b < _VMEM_BUDGET:
+                    ckb = ck
+                if ckf is not None and ckb is not None:
+                    return tq, ckf, ckb, hwp
+            ck //= 2
+    return None
+
+
+def _hil_fwd_kernel(*refs, hw, tq, ck, hwp, nh, dkh, dvh, wh):
+    """Per-program: one query block x all heads. Static head unroll; online
+    softmax over statically-unrolled key chunks (ck == hwp for every
+    production geometry, so the rescale chain usually degenerates)."""
+    if wh:
+        p_ref, pk_ref, rel_ref, oh_ref, o_ref, lse_ref = refs
+    else:
+        p_ref, pk_ref, o_ref, lse_ref = refs
+    S = _hil_slot(dkh, dvh)
+    nk = hwp // ck
+    outs = []
+    for h in range(nh):
+        qslot = p_ref[0, :, h * S:(h + 1) * S]          # (tq, S)
+        if wh:
+            qrh = jnp.concatenate(
+                [qslot[:, :dkh], rel_ref[0, h]], axis=-1)  # (tq, dkh+wh)
+        else:
+            qrh = qslot[:, :dkh]
+
+        m = l = acc = None
+        for j in range(nk):
+            j0 = j * ck
+            kslot = pk_ref[0, pl.ds(j0, ck), h * S:(h + 1) * S]  # (ck, S)
+            if wh:
+                kab = jnp.concatenate(
+                    [kslot[:, dkh:2 * dkh], oh_ref[pl.ds(j0, ck), :]], axis=-1)
+            else:
+                kab = kslot[:, dkh:2 * dkh]
+            s = _dot_nt(qrh, kab)                        # (tq, ck) f32
+            if j0 + ck > hw:  # static: only the tail chunk has padded keys
+                t_ids = j0 + jax.lax.broadcasted_iota(jnp.int32, (1, ck), 1)
+                s = jnp.where(t_ids < hw, s, NEG_INF)
+
+            bm = s.max(axis=-1, keepdims=True)
+            if m is None:
+                m = bm
+                p = jnp.exp(s - m)
+                alpha = None
+            else:
+                m_new = jnp.maximum(m, bm)
+                alpha = jnp.exp(m - m_new)
+                p = jnp.exp(s - m_new)
+                m = m_new
+            # softmax sum rides the MXU with P.V as one fused dot (the
+            # ones column), f32 V-side cast — same offload as _fwd_kernel
+            vb = kslot[:, 2 * dkh:2 * dkh + dvh].astype(jnp.float32)
+            v1 = jnp.concatenate([vb, jnp.ones((ck, 1), jnp.float32)], axis=-1)
+            pvl = _dot_nn(p, v1)                         # (tq, dvh+1)
+            pv, bl = pvl[:, :-1], pvl[:, -1:]
+            l = bl if l is None else l * alpha + bl
+            acc = pv if acc is None else acc * alpha + pv
+
+        outs.append((acc / l).astype(o_ref.dtype))       # (tq, dvh)
+        lse_ref[0, pl.ds(h * ROW_SUB, 1), :] = (
+            (m + jnp.log(l)).astype(jnp.float32).reshape(1, tq))
+    o_ref[0] = jnp.concatenate(outs, axis=-1)            # (tq, nh*dvh)
+
+
+def _hil_bwd_kernel(*refs, hw, tq, ck, hwp, nh, dkh, dvh, wh):
+    """Per-program: one query block x all heads; fori over key chunks.
+    dq/dRW/dRH accumulate per head in a 3-D VMEM scratch — head on the
+    LEADING dim, so each head's tile is written through the ref as soon as
+    it's produced (an end-of-chunk lane concat would keep every head's
+    (tq, ck) temporaries live simultaneously, which blows the Mosaic stack
+    allocation: measured 20.2M vs the 16M scoped-vmem limit at HW=1600).
+    dk/dv accumulate into a resident output whose index map is constant in
+    the query coordinate (zeroed at qi == 0)."""
+    if wh:
+        (p_ref, pk_ref, rel_ref, oh_ref, do_ref, lse_ref, delta_ref,
+         dq_ref, drel_ref, dkv_ref, dqacc_ref) = refs
+    else:
+        (p_ref, pk_ref, do_ref, lse_ref, delta_ref,
+         dq_ref, dkv_ref, dqacc_ref) = refs
+        drel_ref = None
+    qi = pl.program_id(1)
+    S = _hil_slot(dkh, dvh)
+    nk = hwp // ck
+    dt = p_ref.dtype
+
+    @pl.when(qi == 0)
+    def _():
+        dkv_ref[...] = jnp.zeros(dkv_ref.shape, dkv_ref.dtype)
+
+    # scratch persists across grid steps on the core: zero it every program
+    dqacc_ref[...] = jnp.zeros(dqacc_ref.shape, dqacc_ref.dtype)
+
+    # per-head chunk-invariant loads, hoisted out of the key sweep
+    qrhs, dos, lses, deltas = [], [], [], []
+    for h in range(nh):
+        qslot = p_ref[0, :, h * S:(h + 1) * S]
+        if wh:
+            qrhs.append(jnp.concatenate([qslot[:, :dkh], rel_ref[0, h]], axis=-1))
+        else:
+            qrhs.append(qslot[:, :dkh])
+        dos.append(do_ref[0, :, h * dvh:(h + 1) * dvh])   # (tq, dvh)
+        lses.append(lse_ref[0, pl.ds(h * ROW_SUB, 1), :].reshape(tq, 1))
+        deltas.append(delta_ref[0, pl.ds(h * ROW_SUB, 1), :].reshape(tq, 1))
+
+    def chunk(j, carry):
+        j0 = j * ck
+        ohj = oh_ref[pl.ds(j0, ck), :] if wh else None
+        dkv_pieces = []
+        for h in range(nh):
+            kslot = pk_ref[0, pl.ds(j0, ck), h * S:(h + 1) * S]
+            if wh:
+                kab = jnp.concatenate([kslot[:, dkh:2 * dkh], ohj], axis=-1)
+            else:
+                kab = kslot[:, dkh:2 * dkh]
+            s = _dot_nt(qrhs[h], kab)                     # (tq, ck)
+            if hwp > hw:  # static: pay the mask only on padded geometries
+                t_ids = j0 + jax.lax.broadcasted_iota(jnp.int32, (1, ck), 1)
+                s = jnp.where(t_ids < hw, s, NEG_INF)
+            p = jnp.exp(s - lses[h])
+
+            do_h = dos[h]
+            dv_h = jax.lax.dot_general(                   # (ck, dvh) f32
+                p, do_h.astype(jnp.float32), (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            dp = _dot_nt(do_h, kslot[:, 2 * dkh:2 * dkh + dvh])  # (tq, ck)
+            ds = (p * (dp - deltas[h])).astype(dt)
+            dk_h = jax.lax.dot_general(                   # (ck, dkh) f32
+                ds, qrhs[h][:, :dkh], (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            dkv_pieces.append(jnp.concatenate(
+                [dk_h, dv_h], axis=-1).astype(dkv_ref.dtype))
+            # the scratch store ends this head's (tq, ck) tile liveness;
+            # without it every head's s/p/ds stay live to an end-of-chunk
+            # concat and the Mosaic stack blows past the scoped-vmem limit
+            dqacc_ref[h] += _dot_nn(ds, kab)              # (tq, dkh+wh) f32
+        # one full-lane read-modify-write per chunk (a per-head sub-tile
+        # lane RMW would pay nh masked passes over the resident rows)
+        dkv_ref[0, pl.ds(j0, ck), :] += jnp.concatenate(dkv_pieces, axis=-1)
+        return carry
+
+    jax.lax.fori_loop(0, nk, chunk, 0)
+    dqs = []
+    for h in range(nh):
+        dq_h = dqacc_ref[h]
+        dqs.append(dq_h[:, :dkh])
+        if wh:
+            drel_ref[0, h] = dq_h[:, dkh:].astype(drel_ref.dtype)
+    dq_ref[0] = jnp.concatenate(dqs, axis=-1).astype(dq_ref.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
+def _hil_flash(P0, rel, H: int, W: int, dkh: int, dvh: int):
+    out, _ = _hil_forward(P0, rel, H, W, dkh, dvh)
+    return out
+
+
+def _hil_forward(P0, rel, H: int, W: int, dkh: int, dvh: int):
+    """P0: (B, hw, nh*(2*dkh+dvh)) — the qkv projection's output with
+    channels ALREADY in packed per-head [q_h ; k_h ; v_h] order and q
+    pre-scaled (models.attn._PackedQKVConv permutes the conv WEIGHT's output
+    channels, so no data-sized pack op exists anywhere)."""
+    B, hw, nhS = P0.shape
+    nh = nhS // (2 * dkh + dvh)
+    wh = (W + H) if rel is not None else 0
+    S = _hil_slot(dkh, dvh)
+    it = P0.dtype.itemsize
+    geo = _hil_geometry(hw, nh, dkh, dvh, wh, it)
+    assert geo is not None, (
+        f"no VMEM-feasible HIL geometry at HW={hw}, nh={nh} — "
+        "use the bn-layout kernel (aa_attention_pallas)"
+    )
+    tq, ck, _, hwp = geo
+    nq = hwp // tq
+    dt = P0.dtype
+
+    if S > 2 * dkh + dvh:  # pad128 slot experiment: tile-aligned slots
+        P0 = jnp.concatenate(
+            [P0.reshape(B, hw, nh, 2 * dkh + dvh),
+             jnp.zeros((B, hw, nh, S - 2 * dkh - dvh), dt)], axis=-1)
+    Pf = _pad_axis(P0.reshape(B, hw, nh * S), 1, hwp)
+    args = [Pf, Pf]
+    in_specs = [
+        pl.BlockSpec((1, tq, nh * S), lambda b, i: (b, i, 0)),   # query view
+        pl.BlockSpec((1, hwp, nh * S), lambda b, i: (b, 0, 0)),  # key view
+    ]
+    relf = None
+    if wh:
+        relf = _pad_axis(rel.astype(dt), 2, hwp)   # (B, nh, hwp, wh)
+        oh = _pad_axis(_onehot_pos(hw, H, W, dt), 0, hwp)
+        args += [relf, oh]
+        in_specs += [
+            pl.BlockSpec((1, nh, tq, wh), lambda b, i: (b, 0, i, 0)),
+            pl.BlockSpec((hwp, wh), lambda b, i: (0, 0)),
+        ]
+
+    out, lse = pl.pallas_call(
+        functools.partial(_hil_fwd_kernel, hw=hw, tq=tq, ck=ck, hwp=hwp,
+                          nh=nh, dkh=dkh, dvh=dvh, wh=wh),
+        grid=(B, nq),
+        in_specs=in_specs,
+        out_specs=[
+            pl.BlockSpec((1, tq, nh * dvh), lambda b, i: (b, i, 0)),
+            pl.BlockSpec((1, nh * ROW_SUB, tq), lambda b, i: (b, i, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, hwp, nh * dvh), dt),
+            jax.ShapeDtypeStruct((B, nq * nh * ROW_SUB, tq), jnp.float32),
+        ],
+        interpret=_interpret(),
+    )(*args)
+    # out stays (B, hwp, nh*dvh): its :hw slice reshapes straight into
+    # out_proj's expected (B, H, W, dv) channel order
+    return out[:, :hw], (Pf, relf, lse, out)
+
+
+def _hil_fwd_rule(P0, rel, H: int, W: int, dkh: int, dvh: int):
+    out2, (Pf, relf, lse, outp) = _hil_forward(P0, rel, H, W, dkh, dvh)
+    wit = tuple(
+        jnp.zeros((0,) + x.shape, x.dtype)
+        for x in (P0,) + (() if rel is None else (rel,))
+    )
+    return out2, (Pf, relf, lse, outp, wit)
+
+
+def _hil_bwd_rule(H: int, W: int, dkh: int, dvh: int, res, dout):
+    Pf, relf, lse, outp, wit = res
+    B, hw, nhS = wit[0].shape[1:]
+    nh = nhS // (2 * dkh + dvh)
+    wh = (W + H) if relf is not None else 0
+    S = _hil_slot(dkh, dvh)
+    tq, _, ck, hwp = _hil_geometry(hw, nh, dkh, dvh, wh, Pf.dtype.itemsize)
+    nq = hwp // tq
+    dt = Pf.dtype
+
+    # delta = sum_dvh(dout * out) per (token, head), in the lse row layout
+    delta = jnp.sum(
+        dout.astype(jnp.float32).reshape(B, hw, nh, dvh)
+        * outp[:, :hw].reshape(B, hw, nh, dvh).astype(jnp.float32), axis=-1)
+
+    def rows_bhn(x):   # (B, hw, nh) f32 -> (B, nq*nh*ROW_SUB, tq)
+        x = _pad_axis(x, 1, hwp).reshape(B, nq, tq, nh).transpose(0, 1, 3, 2)
+        x = x[:, :, :, None, :]                    # (B, nq, nh, 1, tq)
+        x = _pad_axis(x, 3, ROW_SUB)
+        return x.reshape(B, nq * nh * ROW_SUB, tq)
+
+    deltaf = rows_bhn(delta)
+    dof = _pad_axis(dout.astype(dt).reshape(B, hw, nh * dvh), 1, hwp)
+
+    row_spec = pl.BlockSpec((1, nh * ROW_SUB, tq), lambda b, i: (b, i, 0))
+    args = [Pf, Pf]
+    in_specs = [
+        pl.BlockSpec((1, tq, nh * S), lambda b, i: (b, i, 0)),
+        pl.BlockSpec((1, hwp, nh * S), lambda b, i: (b, 0, 0)),
+    ]
+    if wh:
+        oh = _pad_axis(_onehot_pos(hw, H, W, dt), 0, hwp)
+        args += [relf, oh]
+        in_specs += [
+            pl.BlockSpec((1, nh, tq, wh), lambda b, i: (b, 0, i, 0)),
+            pl.BlockSpec((hwp, wh), lambda b, i: (0, 0)),
+        ]
+    args += [dof, lse, deltaf]
+    in_specs += [
+        pl.BlockSpec((1, tq, nh * dvh), lambda b, i: (b, i, 0)),
+        row_spec, row_spec,
+    ]
+
+    out_specs = [pl.BlockSpec((1, tq, nh * dkh), lambda b, i: (b, i, 0))]
+    out_shape = [jax.ShapeDtypeStruct((B, hwp, nh * dkh), dt)]
+    if wh:
+        out_specs.append(pl.BlockSpec((1, nh, tq, wh), lambda b, i: (b, 0, i, 0)))
+        out_shape.append(jax.ShapeDtypeStruct((B, nh, hwp, wh), dt))
+    # dk/dv accumulate across query programs: index map constant in i, so the
+    # block stays VMEM-resident for the i-sweep (zeroed at i == 0)
+    out_specs.append(pl.BlockSpec((1, hwp, nh * (dkh + dvh)), lambda b, i: (b, 0, 0)))
+    out_shape.append(jax.ShapeDtypeStruct((B, hwp, nh * (dkh + dvh)), dt))
+
+    from jax.experimental.pallas import tpu as pltpu
+
+    results = pl.pallas_call(
+        functools.partial(_hil_bwd_kernel, hw=hw, tq=tq, ck=ck, hwp=hwp,
+                          nh=nh, dkh=dkh, dvh=dvh, wh=wh),
+        grid=(B, nq),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=[pltpu.VMEM((nh, tq, dkh + wh), jnp.float32)],
+        interpret=_interpret(),
+    )(*args)
+    if wh:
+        dq, drel, dkv = results
+    else:
+        dq, dkv = results
+        drel = None
+    # dP0 reassembly: the ONLY data-sized formatting op on the HIL path
+    # (dq is per-query-block-written, dk/dv accumulate across programs, so
+    # they cannot share one kernel output array)
+    dP0 = jnp.concatenate(
+        [dq[:, :hw].reshape(B, hw, nh, dkh),
+         dkv[:, :hw].reshape(B, hw, nh, dkh + dvh)], axis=-1,
+    ).reshape(B, hw, nhS).astype(wit[0].dtype)
+    if wh:
+        return dP0, drel[:, :, :hw].astype(wit[1].dtype)
+    return dP0, None
+
+
+_hil_flash.defvjp(_hil_fwd_rule, _hil_bwd_rule)
+
+
+def hil_supported(hw: int, nh: int, dkh: int, dvh: int, wh: int,
+                  itemsize: int = 2) -> bool:
+    """Whether the HIL kernels have a VMEM-feasible geometry for this
+    AAConv shape (every production geometry in the model zoo qualifies)."""
+    return _hil_geometry(hw, nh, dkh, dvh, wh, itemsize) is not None
+
+
+def _hil_rel(P0, rel_w, rel_h, H, W, nh, dkh):
+    """Compact [RW ; RH] rel logits, HEAD-major (B, nh, HW, W+H) — the
+    layout the block-diagonal einsum produces naturally; its gradient is
+    also born head-major for the BD VJP. The q2d transpose here is the one
+    surviving head transpose on the HIL path."""
+    B, hw, _ = P0.shape
+    q5 = P0.reshape(B, hw, nh, P0.shape[-1] // nh)[..., :dkh]
+    q2d = q5.transpose(0, 2, 1, 3).reshape(B, nh, H, W, dkh)
+    rel_fn = (relative_logits_compact
+              if os.environ.get("CHEXPERT_REL_IMPL") == "einsum"
+              else relative_logits_compact_bd)
+    rw, rh = rel_fn(q2d, rel_w.astype(P0.dtype), rel_h.astype(P0.dtype))
+    return jnp.concatenate([rw.astype(P0.dtype), rh.astype(P0.dtype)], axis=-1)
+
+
+def aa_attention_hil_packed(
+    P0: jnp.ndarray,
+    rel_w: Optional[jnp.ndarray],
+    rel_h: Optional[jnp.ndarray],
+    H: int,
+    W: int,
+    dkh: int,
+    dvh: int,
+) -> jnp.ndarray:
+    """Zero-copy fused attention over the PACKED qkv projection output.
+
+    P0: (B, HW, nh*(2*dkh+dvh)), channels in per-head [q_h; k_h; v_h] order
+    with q pre-scaled by dkh**-0.5 — exactly what models.attn._PackedQKVConv
+    emits (it permutes the conv weight's output channels, so building P0
+    costs nothing). Returns (B, HW, nh*dvh) whose reshape is out_proj's
+    expected (B, H, W, dv).
+    """
+    B, hw, nhS = P0.shape
+    nh = nhS // (2 * dkh + dvh)
+    assert hw == H * W and nh * (2 * dkh + dvh) == nhS, (P0.shape, H, W)
+    rel = (None if rel_w is None
+           else _hil_rel(P0, rel_w, rel_h, H, W, nh, dkh))
+
+    from chexpert_tpu.parallel.context import active_mesh
+
+    mesh = active_mesh()
+    if (mesh is not None and mesh.shape.get("data", 1) > 1
+            and B % mesh.shape["data"] == 0):
+        from jax.experimental.shard_map import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        batched = P("data")
+        if rel is None:
+            fn = shard_map(
+                lambda p_: _hil_flash(p_, None, H, W, dkh, dvh),
+                mesh=mesh, in_specs=(batched,), out_specs=batched,
+                check_rep=False,
+            )
+            return fn(P0)
+        fn = shard_map(
+            lambda p_, r_: _hil_flash(p_, r_, H, W, dkh, dvh),
+            mesh=mesh, in_specs=(batched, batched), out_specs=batched,
+            check_rep=False,
+        )
+        return fn(P0, rel)
+    return _hil_flash(P0, rel, H, W, dkh, dvh)
+
+
+def aa_attention_hil(
+    q5: jnp.ndarray,
+    k5: jnp.ndarray,
+    v5: jnp.ndarray,
+    rel_w: Optional[jnp.ndarray],
+    rel_h: Optional[jnp.ndarray],
+    H: int,
+    W: int,
+) -> jnp.ndarray:
+    """Token-major fused attention over separate q5/k5 (B, HW, nh, dkh) and
+    v5 (B, HW, nh, dvh) operands (q5 pre-scaled by dkh**-0.5): packs them
+    and defers to aa_attention_hil_packed. The model path avoids even the
+    pack copy by emitting packed channels from the projection itself —
+    this entry is the test/generic surface. Returns (B, HW, nh, dvh)."""
+    B, hw, nh, dkh = q5.shape
+    dvh = v5.shape[-1]
+    dt = q5.dtype
+    P0 = jnp.concatenate(
+        [q5, k5.astype(dt), v5.astype(dt)], axis=-1
+    ).reshape(B, hw, nh * (2 * dkh + dvh))
+    out = aa_attention_hil_packed(P0, rel_w, rel_h, H, W, dkh, dvh)
+    return out.reshape(B, hw, nh, dvh)
+
+
 def aa_attention_pallas(
     q: jnp.ndarray,
     k: jnp.ndarray,
