@@ -69,6 +69,8 @@ class _PackedQKVConv(nn.Module):
         if self.packed:
             import numpy as np
 
+            from chexpert_tpu.ops.pallas_attention import _hil_slot
+
             dkh, dvh = self.dk // self.nh, self.dv // self.nh
             perm, scale = [], []
             for h in range(self.nh):
@@ -78,6 +80,15 @@ class _PackedQKVConv(nn.Module):
                 scale += [dkh ** -0.5] * dkh + [1.0] * (dkh + dvh)
             kernel = kernel[..., np.array(perm)] * jnp.asarray(
                 scale, kernel.dtype)
+            # zero-pad each head's [q;k;v] to the kernel's lane-slot stride:
+            # pad channels are WEIGHT zeros, so the conv emits the slot
+            # layout directly and no data-sized pad op exists either
+            tight, S = 2 * dkh + dvh, _hil_slot(dkh, dvh)
+            if S > tight:
+                kernel = jnp.pad(
+                    kernel.reshape(1, 1, -1, self.nh, tight),
+                    ((0, 0), (0, 0), (0, 0), (0, 0), (0, S - tight)),
+                ).reshape(1, 1, -1, self.nh * S)
         return jax.lax.conv_general_dilated(
             x.astype(self.dtype), kernel.astype(self.dtype),
             (self.strides, self.strides), "VALID",
@@ -147,7 +158,7 @@ class AAConv2d(nn.Module):
             from chexpert_tpu.ops.pallas_attention import aa_attention_hil_packed
 
             attn_out = aa_attention_hil_packed(
-                qkv.reshape(B, H * W, 2 * dk + dv), rel_w, rel_h, H, W, dkh, dvh
+                qkv.reshape(B, H * W, -1), rel_w, rel_h, H, W, dkh, dvh
             ).reshape(B, H, W, dv)
         else:
             # head-major layouts: (B, H, W, nh*dh) -> (B, nh, HW, dh);

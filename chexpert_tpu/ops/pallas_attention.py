@@ -598,40 +598,67 @@ _flash_attention.defvjp(_flash_fwd_rule, _flash_bwd_rule)
 # — of an aaresnet152 train step, all in sub-128-lane relayout copies running
 # at ~235 GB/s. The HIL layout keeps everything TOKEN-MAJOR:
 #
-#   P   (B, hwp, nh*S), S = 2*dkh + dvh — per-head lane slots [q ; k ; v],
-#       built by FREE reshapes of the 1x1-conv qkv output (channel-major
-#       head split == lane-slot split; no transpose exists anywhere);
-#   rel (B, nh, hwp, W+H) — compact [RW ; RH] stays head-major, the layout
-#       the block-diagonal rel einsum produces (ops/attention.py), so its
-#       gradient is also born head-major for the BD VJP;
+#   P   (B, hwp, nh*slot) — per-head lane slots [q ; k ; v ; 0-pad] on a
+#       64-lane stride, emitted DIRECTLY by the 1x1 qkv conv (the weight's
+#       output channels are permuted + zero-padded at apply time, so no
+#       data-sized pack op exists anywhere). Round-4 A/B of tight
+#       S = 2*dkh+dvh slots measured the kernels 21 ms/step SLOWER at
+#       S = 41: every per-head slice straddled 128-lane registers. 64-lane
+#       slots make every slot slice half-register aligned (the zoo's S is
+#       41-48, so [q;k;v] never crosses the slot's 64 lanes).
 #   out (B, hwp, nh*dvh) — lane order (head, dvh) == the channel order
 #       out_proj expects: the kernel output reshapes straight into the next
 #       1x1 conv.
 #
-# Grid is (B, nq); the head loop moves INSIDE the kernel (static unroll, nh
-# lane-slot slices — slicing lanes is free compared to the HBM relayouts it
-# replaces). Math per head is identical to the bn kernels: one MXU pass
-# computes [q;RW;RH].[k;onehots]^T per tile with an online softmax, and the
-# backward's ds.[k;onehots] yields [dq;dRW;dRH] in one pass.
+# Grid is (B, nq); the head loop moves INSIDE the kernel (static unroll).
 #
-# The packed P also halves kernel HBM traffic vs the bn layout: q and k no
-# longer stream as separate (.., dkh=20)->128-lane-padded arrays.
+# v3 (this revision) moves the remaining data-sized formatting INTO the
+# kernel — the round-4 HIL-v2 trace showed the 27.5 ms formatting tax was
+# dominated by the rel-logits path (q2d head transposes + the BD einsum's
+# layout copies) and the backward dP0 reassembly, neither of which v2
+# touched:
+#
+# 1. Compact rel logits IN-KERNEL. RW[t, m] = q_t . rel_w[:, m - j(t) + W-1]
+#    becomes two tiny MXU dots per head with no gathers or shifts:
+#        RC_w = ((q_h . T_w) * M_w) . Rbd_w
+#    where T_w (dkh, W*dkh) = [I I ... I] replicates q across W lane blocks
+#    (the MXU does the broadcast), M_w[t, j*dkh+d] = (j == t mod W) is an
+#    iota mask, and Rbd_w[(j, d), m] = rel_w[d, m - j + W - 1] is the tiny
+#    block-diagonal operand built OUTSIDE from the (dkh, 2W-1) parameter
+#    (differentiable slicing — same identity as ops/attention.py
+#    relative_logits_compact_bd, which pays batch-major layout copies of q
+#    and the 5-D output when run outside; profiled ~15 ms/step).
+# 2. One-hot key selectors generated by iota+compare per chunk instead of
+#    streaming a (hwp, W+H) operand from HBM.
+# 3. ONE resident backward accumulator dP (hwp, nh*slot): dk/dv accumulate
+#    across query programs (as v2), and each program adds its dq tile into
+#    its own rows' q-lanes — the cotangent leaves the kernel ALREADY in the
+#    conv's packed layout (v2 concatenated dq and dkv outside: the only
+#    remaining data-sized op, ~12 ms/step).
+# 4. d(Rbd_w)/d(Rbd_h) accumulate in grid-constant residents (zeroed at the
+#    first program, summed over B and query blocks by the sequential TPU
+#    grid); XLA backpropagates them to the rel embeddings through the
+#    block-diagonal construction (param-sized).
 # ---------------------------------------------------------------------------
 
 
 
 def _hil_slot(dkh: int, dvh: int) -> int:
-    """Lane stride of one head's [q ; k ; v] slot in the packed operand.
-    Tight by default (2*dkh+dvh); CHEXPERT_ATTN_HIL_SLOT=pad128 pads each
-    slot to 128 lanes so every per-head slice is tile-aligned (compile-time
-    / relayout A-B experiment; costs HBM bytes)."""
+    """Lane stride of one head's [q ; k ; v ; 0-pad] slot in the packed
+    operand. Default: the next multiple of 64 — every slot slice is then
+    half-register aligned and never straddles a 128-lane register (tight
+    S = 41 slots measured the kernels 21 ms/step slower on aaresnet152).
+    CHEXPERT_ATTN_HIL_SLOT=tight|pad128 for layout A/Bs."""
     S = 2 * dkh + dvh
-    if os.environ.get("CHEXPERT_ATTN_HIL_SLOT") == "pad128":
+    mode = os.environ.get("CHEXPERT_ATTN_HIL_SLOT")
+    if mode == "pad128":
         return _cdiv(S, 128) * 128
-    return S
+    if mode == "tight":
+        return S
+    return _cdiv(S, 64) * 64
 
 
-def _hil_vmem_est(hw, hwp, tq, ck, nh, dkh, dvh, wh, it):
+def _hil_vmem_est(hw, hwp, tq, ck, nh, dkh, dvh, wh, it, H=0, W=0):
     """(fwd_bytes, bwd_bytes) estimated per-program VMEM residents for the
     HIL kernels. Lanes pad to 128 in VMEM; 1.5x covers double-buffering and
     temporaries (same calibration as _bwd_bytes_est)."""
@@ -639,23 +666,30 @@ def _hil_vmem_est(hw, hwp, tq, ck, nh, dkh, dvh, wh, it):
         return _cdiv(max(d, 1), 128) * 128
 
     S = _hil_slot(dkh, dvh)
-    nq = hwp // tq
     kview = hwp * lanes(nh * S) * it          # full-length packed keys
     qview = tq * lanes(nh * S) * it
-    relq = nh * tq * lanes(wh) * it if wh else 0
-    oh = hwp * lanes(wh) * it if wh else 0
+    # in-kernel rel machinery: Rbd/T residents + the (tq, W*dkh) tile/mask
+    # products (bf16 tile + f32 dot output transient per side)
+    rel_ops = oh = 0
+    if wh:
+        rel_ops = (
+            W * dkh * lanes(W) * it + H * dkh * lanes(H) * it   # Rbd_w/_h
+            + dkh * (lanes(W * dkh) + lanes(H * dkh)) * it      # T_w/T_h
+            + tq * max(lanes(W * dkh), lanes(H * dkh)) * (it + 4)
+        )
+        oh = ck * lanes(wh) * it               # iota-generated per chunk
     lse_blk = nh * ROW_SUB * tq * 4
     out_blk = tq * lanes(nh * dvh) * it
-    fwd = kview + qview + relq + oh + out_blk + lse_blk + (
+    fwd = kview + qview + rel_ops + oh + out_blk + lse_blk + (
         2 * tq * ck * 4                        # s / p tiles
         + tq * lanes(nh * (dvh + 2)) * 4       # online-softmax carries
     )
-    bwd = kview + qview + relq + oh + 2 * lse_blk + out_blk + (
+    bwd = kview + qview + rel_ops + oh + 2 * lse_blk + out_blk + (
         3 * tq * ck * 4                        # s / p / ds tiles
-        + tq * lanes(nh * (dkh + wh)) * 4      # [dq;dRW;dRH] f32 carry
-        + tq * lanes(nh * dkh) * it            # dq out block
-        + (nh * tq * lanes(wh) * it if wh else 0)   # drel out block
-        + hwp * lanes(nh * (dkh + dvh)) * it   # dk/dv resident accumulator
+        + nh * tq * lanes(dkh + wh) * 4        # [dq;dRW;dRH] f32 scratch
+        + hwp * lanes(nh * S) * it             # dP resident accumulator
+        + ck * lanes(nh * S) * it              # per-chunk dkv piece
+        + ((W * dkh * lanes(W) + H * dkh * lanes(H)) * 4 if wh else 0)
     )
     return int(fwd * 1.5), int(bwd * 1.5)
 
@@ -687,7 +721,9 @@ def _hil_geometry(hw, nh, dkh, dvh, wh, it):
         ck = hwp
         while ck % 8 == 0 and ck >= tq:
             if hwp % ck == 0:
-                f, b = _hil_vmem_est(hw, hwp, tq, ck, nh, dkh, dvh, wh, it)
+                side = _cdiv(wh, 2)  # budget estimate only: W ~ H ~ wh/2
+                f, b = _hil_vmem_est(hw, hwp, tq, ck, nh, dkh, dvh, wh, it,
+                                     H=side, W=side)
                 if ckf is None and f < _VMEM_BUDGET:
                     ckf = ck
                 if ckb is None and b < _VMEM_BUDGET:
@@ -698,22 +734,63 @@ def _hil_geometry(hw, nh, dkh, dvh, wh, it):
     return None
 
 
-def _hil_fwd_kernel(*refs, hw, tq, ck, hwp, nh, dkh, dvh, wh):
+def _hil_onehot(j0, ck, H, W, dt):
+    """[onehot_W(col) ; onehot_H(row)] (ck, W+H) for keys j0..j0+ck, by
+    iota+compare — replaces the v2 HBM-streamed (hwp, W+H) operand."""
+    ids = j0 + jax.lax.broadcasted_iota(jnp.int32, (ck, 1), 0)
+    ohw = (jax.lax.broadcasted_iota(jnp.int32, (ck, W), 1) == ids % W)
+    ohh = (jax.lax.broadcasted_iota(jnp.int32, (ck, H), 1) == ids // W)
+    return jnp.concatenate([ohw.astype(dt), ohh.astype(dt)], axis=-1)
+
+
+def _hil_rel_masks(q0, tq, H, W, dkh, dt):
+    """(M_w, M_h) block-diagonal selection masks for the in-kernel compact
+    rel dots: M_w[t, j*dkh+d] = (j == col(q0+t)), M_h over rows. Pure
+    iota/compare — no data movement."""
+    rows = q0 + jax.lax.broadcasted_iota(jnp.int32, (tq, 1), 0)
+    jblk = jax.lax.broadcasted_iota(jnp.int32, (tq, W * dkh), 1) // dkh
+    iblk = jax.lax.broadcasted_iota(jnp.int32, (tq, H * dkh), 1) // dkh
+    return ((jblk == rows % W).astype(dt), (iblk == rows // W).astype(dt))
+
+
+def _hil_rel_compact(q_h, tw, th, rw, rh, mw, mh, H, W, dt):
+    """In-kernel compact rel logits for one head: (tq, W+H) = [RC_w ; RC_h].
+    RC_w = ((q.T_w) * M_w) . Rbd_w — the MXU replicates q across W lane
+    blocks (T_w = [I..I]), the mask keeps block j(t), and Rbd_w contracts
+    the block-diagonal (see module header)."""
+    tile_w = _dot_nn(q_h, tw).astype(dt)                 # (tq, W*dkh)
+    tile_h = tile_w if (H == W) else _dot_nn(q_h, th).astype(dt)
+    rcw = _dot_nn(tile_w * mw, rw).astype(dt)            # (tq, W)
+    rch = _dot_nn(tile_h * mh, rh).astype(dt)            # (tq, H)
+    return jnp.concatenate([rcw, rch], axis=-1)
+
+
+def _hil_fwd_kernel(*refs, hw, tq, ck, hwp, nh, dkh, dvh, wh, H, W):
     """Per-program: one query block x all heads. Static head unroll; online
     softmax over statically-unrolled key chunks (ck == hwp for every
     production geometry, so the rescale chain usually degenerates)."""
     if wh:
-        p_ref, pk_ref, rel_ref, oh_ref, o_ref, lse_ref = refs
+        p_ref, pk_ref, rw_ref, rh_ref, tw_ref, th_ref, o_ref, lse_ref = refs
     else:
         p_ref, pk_ref, o_ref, lse_ref = refs
     S = _hil_slot(dkh, dvh)
     nk = hwp // ck
+    dt = p_ref.dtype
+    qi = pl.program_id(1)
+    if wh:
+        ohs = [_hil_onehot(j * ck, ck, H, W, dt) for j in range(nk)]
+        mw, mh = _hil_rel_masks(qi * tq, tq, H, W, dkh, dt)
+        rw, rh = rw_ref[...], rh_ref[...]
+        tw = tw_ref[...]
+        th = tw if (H == W) else th_ref[...]
     outs = []
     for h in range(nh):
         qslot = p_ref[0, :, h * S:(h + 1) * S]          # (tq, S)
         if wh:
             qrh = jnp.concatenate(
-                [qslot[:, :dkh], rel_ref[0, h]], axis=-1)  # (tq, dkh+wh)
+                [qslot[:, :dkh],
+                 _hil_rel_compact(qslot[:, :dkh], tw, th, rw, rh,
+                                  mw, mh, H, W, dt)], axis=-1)
         else:
             qrh = qslot[:, :dkh]
 
@@ -723,7 +800,7 @@ def _hil_fwd_kernel(*refs, hw, tq, ck, hwp, nh, dkh, dvh, wh):
             kslot = pk_ref[0, pl.ds(j0, ck), h * S:(h + 1) * S]  # (ck, S)
             if wh:
                 kab = jnp.concatenate(
-                    [kslot[:, dkh:2 * dkh], oh_ref[pl.ds(j0, ck), :]], axis=-1)
+                    [kslot[:, dkh:2 * dkh], ohs[j]], axis=-1)
             else:
                 kab = kslot[:, dkh:2 * dkh]
             s = _dot_nt(qrh, kab)                        # (tq, ck) f32
@@ -756,22 +833,25 @@ def _hil_fwd_kernel(*refs, hw, tq, ck, hwp, nh, dkh, dvh, wh):
     o_ref[0] = jnp.concatenate(outs, axis=-1)            # (tq, nh*dvh)
 
 
-def _hil_bwd_kernel(*refs, hw, tq, ck, hwp, nh, dkh, dvh, wh):
+def _hil_bwd_kernel(*refs, hw, tq, ck, hwp, nh, dkh, dvh, wh, H, W):
     """Per-program: one query block x all heads; fori over key chunks.
-    dq/dRW/dRH accumulate per head in a 3-D VMEM scratch — head on the
-    LEADING dim, so each head's tile is written through the ref as soon as
-    it's produced (an end-of-chunk lane concat would keep every head's
+    [dq ; dRC_w ; dRC_h] accumulate per head in a 3-D VMEM scratch — head on
+    the LEADING dim, so each head's tile is written through the ref as soon
+    as it's produced (an end-of-chunk lane concat would keep every head's
     (tq, ck) temporaries live simultaneously, which blows the Mosaic stack
     allocation: measured 20.2M vs the 16M scoped-vmem limit at HW=1600).
-    dk/dv accumulate into a resident output whose index map is constant in
-    the query coordinate (zeroed at qi == 0)."""
+
+    ALL of dP accumulates into ONE resident output in the conv's packed
+    slot layout (index map constant in the query coordinate, zeroed at
+    qi == 0): dk/dv for every row from each program's ds tiles, dq into the
+    program's own rows' q-lanes — no reassembly exists outside. dRbd_w/_h
+    accumulate in grid-constant residents (zeroed at the first program)."""
     if wh:
-        (p_ref, pk_ref, rel_ref, oh_ref, do_ref, lse_ref, delta_ref,
-         dq_ref, drel_ref, dkv_ref, dqacc_ref) = refs
+        (p_ref, pk_ref, rw_ref, rh_ref, tw_ref, th_ref, do_ref, lse_ref,
+         delta_ref, dP_ref, drw_ref, drh_ref, dqacc_ref) = refs
     else:
-        (p_ref, pk_ref, do_ref, lse_ref, delta_ref,
-         dq_ref, dkv_ref, dqacc_ref) = refs
-        drel_ref = None
+        (p_ref, pk_ref, do_ref, lse_ref, delta_ref, dP_ref, dqacc_ref) = refs
+    b = pl.program_id(0)
     qi = pl.program_id(1)
     S = _hil_slot(dkh, dvh)
     nk = hwp // ck
@@ -779,26 +859,45 @@ def _hil_bwd_kernel(*refs, hw, tq, ck, hwp, nh, dkh, dvh, wh):
 
     @pl.when(qi == 0)
     def _():
-        dkv_ref[...] = jnp.zeros(dkv_ref.shape, dkv_ref.dtype)
+        dP_ref[...] = jnp.zeros(dP_ref.shape, dP_ref.dtype)
+
+    if wh:
+        @pl.when(jnp.logical_and(b == 0, qi == 0))
+        def _():
+            drw_ref[...] = jnp.zeros(drw_ref.shape, drw_ref.dtype)
+            drh_ref[...] = jnp.zeros(drh_ref.shape, drh_ref.dtype)
 
     # scratch persists across grid steps on the core: zero it every program
     dqacc_ref[...] = jnp.zeros(dqacc_ref.shape, dqacc_ref.dtype)
+
+    if wh:
+        mw, mh = _hil_rel_masks(qi * tq, tq, H, W, dkh, dt)
+        rw, rh = rw_ref[...], rh_ref[...]
+        tw = tw_ref[...]
+        th = tw if (H == W) else th_ref[...]
 
     # per-head chunk-invariant loads, hoisted out of the key sweep
     qrhs, dos, lses, deltas = [], [], [], []
     for h in range(nh):
         qslot = p_ref[0, :, h * S:(h + 1) * S]
         if wh:
-            qrhs.append(jnp.concatenate([qslot[:, :dkh], rel_ref[0, h]], axis=-1))
+            qrhs.append(jnp.concatenate(
+                [qslot[:, :dkh],
+                 _hil_rel_compact(qslot[:, :dkh], tw, th, rw, rh,
+                                  mw, mh, H, W, dt)], axis=-1))
         else:
             qrhs.append(qslot[:, :dkh])
         dos.append(do_ref[0, :, h * dvh:(h + 1) * dvh])   # (tq, dvh)
         lses.append(lse_ref[0, pl.ds(h * ROW_SUB, 1), :].reshape(tq, 1))
         deltas.append(delta_ref[0, pl.ds(h * ROW_SUB, 1), :].reshape(tq, 1))
 
+    zq = jnp.zeros((ck, dkh), dt)
+    zpad = jnp.zeros((ck, S - 2 * dkh - dvh), dt) if S > 2 * dkh + dvh else None
+
     def chunk(j, carry):
         j0 = j * ck
-        ohj = oh_ref[pl.ds(j0, ck), :] if wh else None
+        if wh:
+            ohj = _hil_onehot(j0, ck, H, W, dt)  # traced j0: iota+compare
         dkv_pieces = []
         for h in range(nh):
             kslot = pk_ref[0, pl.ds(j0, ck), h * S:(h + 1) * S]
@@ -821,75 +920,109 @@ def _hil_bwd_kernel(*refs, hw, tq, ck, hwp, nh, dkh, dvh, wh):
             dk_h = jax.lax.dot_general(                   # (ck, dkh) f32
                 ds, qrhs[h][:, :dkh], (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)
-            dkv_pieces.append(jnp.concatenate(
-                [dk_h, dv_h], axis=-1).astype(dkv_ref.dtype))
+            # the head's slot piece in the conv layout: [0_q ; dk ; dv ; 0]
+            parts = [zq, dk_h.astype(dt), dv_h.astype(dt)]
+            if zpad is not None:
+                parts.append(zpad)
+            dkv_pieces.append(jnp.concatenate(parts, axis=-1))
             # the scratch store ends this head's (tq, ck) tile liveness;
             # without it every head's s/p/ds stay live to an end-of-chunk
             # concat and the Mosaic stack blows past the scoped-vmem limit
             dqacc_ref[h] += _dot_nn(ds, kab)              # (tq, dkh+wh) f32
         # one full-lane read-modify-write per chunk (a per-head sub-tile
         # lane RMW would pay nh masked passes over the resident rows)
-        dkv_ref[0, pl.ds(j0, ck), :] += jnp.concatenate(dkv_pieces, axis=-1)
+        dP_ref[0, pl.ds(j0, ck), :] += jnp.concatenate(dkv_pieces, axis=-1)
         return carry
 
     jax.lax.fori_loop(0, nk, chunk, 0)
-    dqs = []
+
+    dq_pieces = []
+    zqt = jnp.zeros((tq, S - dkh), dt)
     for h in range(nh):
-        dq_h = dqacc_ref[h]
-        dqs.append(dq_h[:, :dkh])
+        dacc = dqacc_ref[h]                               # (tq, dkh+wh) f32
+        dq_h = dacc[:, :dkh]
         if wh:
-            drel_ref[0, h] = dq_h[:, dkh:].astype(drel_ref.dtype)
-    dq_ref[0] = jnp.concatenate(dqs, axis=-1).astype(dq_ref.dtype)
+            q_h = p_ref[0, :, h * S:h * S + dkh]
+            dcw = dacc[:, dkh:dkh + W].astype(dt)         # (tq, W)
+            dch = dacc[:, dkh + W:dkh + wh].astype(dt)    # (tq, H)
+            tile_w = _dot_nn(q_h, tw).astype(dt)
+            tile_h = tile_w if (H == W) else _dot_nn(q_h, th).astype(dt)
+            # dRbd accumulation: ((q.T)*M)^T . dRC, summed over the grid
+            drw_ref[...] += jax.lax.dot_general(
+                tile_w * mw, dcw, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            drh_ref[...] += jax.lax.dot_general(
+                tile_h * mh, dch, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            # rel contribution to dq: ((dRC . Rbd^T) * M) . T^T
+            gw = (_dot_nt(dcw, rw).astype(dt) * mw)       # (tq, W*dkh)
+            gh = (_dot_nt(dch, rh).astype(dt) * mh)       # (tq, H*dkh)
+            dq_h = dq_h + _dot_nt(gw, tw) + _dot_nt(gh, th)
+        dq_pieces.append(jnp.concatenate(
+            [dq_h.astype(dt), zqt], axis=-1))             # (tq, S)
+    # add this program's dq into its own rows of the shared dP resident
+    dP_ref[0, pl.ds(qi * tq, tq), :] += jnp.concatenate(dq_pieces, axis=-1)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
-def _hil_flash(P0, rel, H: int, W: int, dkh: int, dvh: int):
-    out, _ = _hil_forward(P0, rel, H, W, dkh, dvh)
-    return out
+def _hil_tiled_eye(dkh: int, n: int, dt) -> jnp.ndarray:
+    """T (dkh, n*dkh) = [I I ... I]: q . T replicates q across n lane
+    blocks on the MXU (a jnp.tile of the data tile would be a lane
+    relayout; this is one dot on otherwise-idle MXU)."""
+    return jnp.tile(jnp.eye(dkh, dtype=dt), (1, n))
 
 
-def _hil_forward(P0, rel, H: int, W: int, dkh: int, dvh: int):
-    """P0: (B, hw, nh*(2*dkh+dvh)) — the qkv projection's output with
-    channels ALREADY in packed per-head [q_h ; k_h ; v_h] order and q
-    pre-scaled (models.attn._PackedQKVConv permutes the conv WEIGHT's output
-    channels, so no data-sized pack op exists anywhere)."""
+def _hil_flash_spec(P0, Rw, Rh, H, W, dkh, dvh):
+    """Shared geometry/layout derivation for fwd and bwd."""
     B, hw, nhS = P0.shape
-    nh = nhS // (2 * dkh + dvh)
-    wh = (W + H) if rel is not None else 0
     S = _hil_slot(dkh, dvh)
-    it = P0.dtype.itemsize
-    geo = _hil_geometry(hw, nh, dkh, dvh, wh, it)
+    nh = nhS // S
+    wh = (W + H) if Rw is not None else 0
+    geo = _hil_geometry(hw, nh, dkh, dvh, wh, P0.dtype.itemsize)
     assert geo is not None, (
         f"no VMEM-feasible HIL geometry at HW={hw}, nh={nh} — "
         "use the bn-layout kernel (aa_attention_pallas)"
     )
+    return B, hw, nh, S, wh, geo
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def _hil_flash(P0, Rw, Rh, H: int, W: int, dkh: int, dvh: int):
+    out, _ = _hil_forward(P0, Rw, Rh, H, W, dkh, dvh)
+    return out
+
+
+def _hil_forward(P0, Rw, Rh, H: int, W: int, dkh: int, dvh: int):
+    """P0: (B, hw, nh*slot) — the qkv projection's output with channels
+    ALREADY in slot-packed per-head [q_h ; k_h ; v_h ; 0-pad] order and q
+    pre-scaled (models.attn._PackedQKVConv permutes + zero-pads the conv
+    WEIGHT's output channels, so no data-sized pack op exists anywhere).
+    Rw (W*dkh, W) / Rh (H*dkh, H): block-diagonal rel operands from
+    _hil_rel_operands (None for non-relative attention)."""
+    B, hw, nh, S, wh, geo = _hil_flash_spec(P0, Rw, Rh, H, W, dkh, dvh)
     tq, ck, _, hwp = geo
     nq = hwp // tq
     dt = P0.dtype
 
-    if S > 2 * dkh + dvh:  # pad128 slot experiment: tile-aligned slots
-        P0 = jnp.concatenate(
-            [P0.reshape(B, hw, nh, 2 * dkh + dvh),
-             jnp.zeros((B, hw, nh, S - 2 * dkh - dvh), dt)], axis=-1)
-    Pf = _pad_axis(P0.reshape(B, hw, nh * S), 1, hwp)
+    Pf = _pad_axis(P0, 1, hwp)
     args = [Pf, Pf]
     in_specs = [
         pl.BlockSpec((1, tq, nh * S), lambda b, i: (b, i, 0)),   # query view
         pl.BlockSpec((1, hwp, nh * S), lambda b, i: (b, 0, 0)),  # key view
     ]
-    relf = None
     if wh:
-        relf = _pad_axis(rel.astype(dt), 2, hwp)   # (B, nh, hwp, wh)
-        oh = _pad_axis(_onehot_pos(hw, H, W, dt), 0, hwp)
-        args += [relf, oh]
+        tw = _hil_tiled_eye(dkh, W, dt)
+        th = _hil_tiled_eye(dkh, H, dt)
+        args += [Rw.astype(dt), Rh.astype(dt), tw, th]
         in_specs += [
-            pl.BlockSpec((1, nh, tq, wh), lambda b, i: (b, 0, i, 0)),
-            pl.BlockSpec((hwp, wh), lambda b, i: (0, 0)),
+            pl.BlockSpec((W * dkh, W), lambda b, i: (0, 0)),
+            pl.BlockSpec((H * dkh, H), lambda b, i: (0, 0)),
+            pl.BlockSpec((dkh, W * dkh), lambda b, i: (0, 0)),
+            pl.BlockSpec((dkh, H * dkh), lambda b, i: (0, 0)),
         ]
 
     out, lse = pl.pallas_call(
         functools.partial(_hil_fwd_kernel, hw=hw, tq=tq, ck=ck, hwp=hwp,
-                          nh=nh, dkh=dkh, dvh=dvh, wh=wh),
+                          nh=nh, dkh=dkh, dvh=dvh, wh=wh, H=H, W=W),
         grid=(B, nq),
         in_specs=in_specs,
         out_specs=[
@@ -904,24 +1037,21 @@ def _hil_forward(P0, rel, H: int, W: int, dkh: int, dvh: int):
     )(*args)
     # out stays (B, hwp, nh*dvh): its :hw slice reshapes straight into
     # out_proj's expected (B, H, W, dv) channel order
-    return out[:, :hw], (Pf, relf, lse, out)
+    return out[:, :hw], (Pf, lse, out)
 
 
-def _hil_fwd_rule(P0, rel, H: int, W: int, dkh: int, dvh: int):
-    out2, (Pf, relf, lse, outp) = _hil_forward(P0, rel, H, W, dkh, dvh)
-    wit = tuple(
-        jnp.zeros((0,) + x.shape, x.dtype)
-        for x in (P0,) + (() if rel is None else (rel,))
-    )
-    return out2, (Pf, relf, lse, outp, wit)
+def _hil_fwd_rule(P0, Rw, Rh, H: int, W: int, dkh: int, dvh: int):
+    out2, (Pf, lse, outp) = _hil_forward(P0, Rw, Rh, H, W, dkh, dvh)
+    wit = (jnp.zeros((0,) + P0.shape, P0.dtype),)
+    return out2, (Pf, Rw, Rh, lse, outp, wit)
 
 
 def _hil_bwd_rule(H: int, W: int, dkh: int, dvh: int, res, dout):
-    Pf, relf, lse, outp, wit = res
+    Pf, Rw, Rh, lse, outp, wit = res
     B, hw, nhS = wit[0].shape[1:]
-    nh = nhS // (2 * dkh + dvh)
-    wh = (W + H) if relf is not None else 0
     S = _hil_slot(dkh, dvh)
+    nh = nhS // S
+    wh = (W + H) if Rw is not None else 0
     tq, _, ck, hwp = _hil_geometry(hw, nh, dkh, dvh, wh, Pf.dtype.itemsize)
     nq = hwp // tq
     dt = Pf.dtype
@@ -947,11 +1077,13 @@ def _hil_bwd_rule(H: int, W: int, dkh: int, dvh: int, res, dout):
         pl.BlockSpec((1, hwp, nh * S), lambda b, i: (b, 0, 0)),
     ]
     if wh:
-        oh = _pad_axis(_onehot_pos(hw, H, W, dt), 0, hwp)
-        args += [relf, oh]
+        args += [Rw.astype(dt), Rh.astype(dt),
+                 _hil_tiled_eye(dkh, W, dt), _hil_tiled_eye(dkh, H, dt)]
         in_specs += [
-            pl.BlockSpec((1, nh, tq, wh), lambda b, i: (b, 0, i, 0)),
-            pl.BlockSpec((hwp, wh), lambda b, i: (0, 0)),
+            pl.BlockSpec((W * dkh, W), lambda b, i: (0, 0)),
+            pl.BlockSpec((H * dkh, H), lambda b, i: (0, 0)),
+            pl.BlockSpec((dkh, W * dkh), lambda b, i: (0, 0)),
+            pl.BlockSpec((dkh, H * dkh), lambda b, i: (0, 0)),
         ]
     args += [dof, lse, deltaf]
     in_specs += [
@@ -959,21 +1091,27 @@ def _hil_bwd_rule(H: int, W: int, dkh: int, dvh: int, res, dout):
         row_spec, row_spec,
     ]
 
-    out_specs = [pl.BlockSpec((1, tq, nh * dkh), lambda b, i: (b, i, 0))]
-    out_shape = [jax.ShapeDtypeStruct((B, hwp, nh * dkh), dt)]
+    # ONE dP accumulator in the conv's packed slot layout (constant in i:
+    # VMEM-resident across the query sweep, zeroed at i == 0); dRbd_w/_h
+    # accumulate across the WHOLE grid (constant index maps, zeroed at the
+    # first program — the TPU grid is sequential)
+    out_specs = [pl.BlockSpec((1, hwp, nh * S), lambda b, i: (b, 0, 0))]
+    out_shape = [jax.ShapeDtypeStruct((B, hwp, nh * S), dt)]
     if wh:
-        out_specs.append(pl.BlockSpec((1, nh, tq, wh), lambda b, i: (b, 0, i, 0)))
-        out_shape.append(jax.ShapeDtypeStruct((B, nh, hwp, wh), dt))
-    # dk/dv accumulate across query programs: index map constant in i, so the
-    # block stays VMEM-resident for the i-sweep (zeroed at i == 0)
-    out_specs.append(pl.BlockSpec((1, hwp, nh * (dkh + dvh)), lambda b, i: (b, 0, 0)))
-    out_shape.append(jax.ShapeDtypeStruct((B, hwp, nh * (dkh + dvh)), dt))
+        out_specs += [
+            pl.BlockSpec((W * dkh, W), lambda b, i: (0, 0)),
+            pl.BlockSpec((H * dkh, H), lambda b, i: (0, 0)),
+        ]
+        out_shape += [
+            jax.ShapeDtypeStruct((W * dkh, W), jnp.float32),
+            jax.ShapeDtypeStruct((H * dkh, H), jnp.float32),
+        ]
 
     from jax.experimental.pallas import tpu as pltpu
 
     results = pl.pallas_call(
         functools.partial(_hil_bwd_kernel, hw=hw, tq=tq, ck=ck, hwp=hwp,
-                          nh=nh, dkh=dkh, dvh=dvh, wh=wh),
+                          nh=nh, dkh=dkh, dvh=dvh, wh=wh, H=H, W=W),
         grid=(B, nq),
         in_specs=in_specs,
         out_specs=out_specs,
@@ -982,20 +1120,11 @@ def _hil_bwd_rule(H: int, W: int, dkh: int, dvh: int, res, dout):
         interpret=_interpret(),
     )(*args)
     if wh:
-        dq, drel, dkv = results
-    else:
-        dq, dkv = results
-        drel = None
-    # dP0 reassembly: the ONLY data-sized formatting op on the HIL path
-    # (dq is per-query-block-written, dk/dv accumulate across programs, so
-    # they cannot share one kernel output array)
-    dP0 = jnp.concatenate(
-        [dq[:, :hw].reshape(B, hw, nh, dkh),
-         dkv[:, :hw].reshape(B, hw, nh, dkh + dvh)], axis=-1,
-    ).reshape(B, hw, nhS).astype(wit[0].dtype)
-    if wh:
-        return dP0, drel[:, :, :hw].astype(wit[1].dtype)
-    return dP0, None
+        dP, drw, drh = results
+        return (dP[:, :hw].astype(wit[0].dtype),
+                drw.astype(Rw.dtype), drh.astype(Rh.dtype))
+    (dP,) = results
+    return dP[:, :hw].astype(wit[0].dtype), None, None
 
 
 _hil_flash.defvjp(_hil_fwd_rule, _hil_bwd_rule)
@@ -1008,19 +1137,19 @@ def hil_supported(hw: int, nh: int, dkh: int, dvh: int, wh: int,
     return _hil_geometry(hw, nh, dkh, dvh, wh, itemsize) is not None
 
 
-def _hil_rel(P0, rel_w, rel_h, H, W, nh, dkh):
-    """Compact [RW ; RH] rel logits, HEAD-major (B, nh, HW, W+H) — the
-    layout the block-diagonal einsum produces naturally; its gradient is
-    also born head-major for the BD VJP. The q2d transpose here is the one
-    surviving head transpose on the HIL path."""
-    B, hw, _ = P0.shape
-    q5 = P0.reshape(B, hw, nh, P0.shape[-1] // nh)[..., :dkh]
-    q2d = q5.transpose(0, 2, 1, 3).reshape(B, nh, H, W, dkh)
-    rel_fn = (relative_logits_compact
-              if os.environ.get("CHEXPERT_REL_IMPL") == "einsum"
-              else relative_logits_compact_bd)
-    rw, rh = rel_fn(q2d, rel_w.astype(P0.dtype), rel_h.astype(P0.dtype))
-    return jnp.concatenate([rw.astype(P0.dtype), rh.astype(P0.dtype)], axis=-1)
+def _hil_rel_operand(rel: jnp.ndarray, n: int) -> jnp.ndarray:
+    """Block-diagonal operand for the in-kernel compact rel dots.
+
+    Rbd[(j, d), m] = rel[d, m - j + n - 1] — block j is the (dkh, n) window
+    of the (dkh, 2n-1) embedding centered for query column/row j (same
+    identity as ops/attention.py relative_logits_compact:68-73, which pays
+    batch-major layout copies of q and the 5-D output when contracted
+    outside the kernel). Built by n static slices of the tiny parameter, so
+    it is differentiable: XLA transposes it to a scatter-add back onto the
+    embedding — param-sized, never data-sized."""
+    d, _ = rel.shape
+    blocks = [rel[:, n - 1 - j:2 * n - 1 - j] for j in range(n)]
+    return jnp.stack(blocks, axis=0).reshape(n * d, n)
 
 
 def aa_attention_hil_packed(
@@ -1034,17 +1163,24 @@ def aa_attention_hil_packed(
 ) -> jnp.ndarray:
     """Zero-copy fused attention over the PACKED qkv projection output.
 
-    P0: (B, HW, nh*(2*dkh+dvh)), channels in per-head [q_h; k_h; v_h] order
-    with q pre-scaled by dkh**-0.5 — exactly what models.attn._PackedQKVConv
-    emits (it permutes the conv weight's output channels, so building P0
-    costs nothing). Returns (B, HW, nh*dvh) whose reshape is out_proj's
-    expected (B, H, W, dv).
+    P0: (B, HW, nh*slot) with slot = _hil_slot(dkh, dvh), channels in
+    per-head [q_h; k_h; v_h; 0-pad] order with q pre-scaled by dkh**-0.5 —
+    exactly what models.attn._PackedQKVConv emits (it permutes + zero-pads
+    the conv weight's output channels, so building P0 costs nothing).
+    rel_w (dkh, 2W-1) / rel_h (dkh, 2H-1) are the raw embeddings: the only
+    host-side rel work is the param-sized block-diagonal operand build.
+    Returns (B, HW, nh*dvh) whose reshape is out_proj's expected
+    (B, H, W, dv).
     """
     B, hw, nhS = P0.shape
-    nh = nhS // (2 * dkh + dvh)
-    assert hw == H * W and nh * (2 * dkh + dvh) == nhS, (P0.shape, H, W)
-    rel = (None if rel_w is None
-           else _hil_rel(P0, rel_w, rel_h, H, W, nh, dkh))
+    S = _hil_slot(dkh, dvh)
+    nh = nhS // S
+    assert hw == H * W and nh * S == nhS, (P0.shape, H, W, S)
+    if rel_w is None:
+        Rw = Rh = None
+    else:
+        Rw = _hil_rel_operand(rel_w, W)
+        Rh = _hil_rel_operand(rel_h, H)
 
     from chexpert_tpu.parallel.context import active_mesh
 
@@ -1055,20 +1191,20 @@ def aa_attention_hil_packed(
         from jax.sharding import PartitionSpec as P
 
         batched = P("data")
-        if rel is None:
+        if Rw is None:
             fn = shard_map(
-                lambda p_: _hil_flash(p_, None, H, W, dkh, dvh),
+                lambda p_: _hil_flash(p_, None, None, H, W, dkh, dvh),
                 mesh=mesh, in_specs=(batched,), out_specs=batched,
                 check_rep=False,
             )
             return fn(P0)
         fn = shard_map(
-            lambda p_, r_: _hil_flash(p_, r_, H, W, dkh, dvh),
-            mesh=mesh, in_specs=(batched, batched), out_specs=batched,
+            lambda p_, rw_, rh_: _hil_flash(p_, rw_, rh_, H, W, dkh, dvh),
+            mesh=mesh, in_specs=(batched, P(), P()), out_specs=batched,
             check_rep=False,
         )
-        return fn(P0, rel)
-    return _hil_flash(P0, rel, H, W, dkh, dvh)
+        return fn(P0, Rw, Rh)
+    return _hil_flash(P0, Rw, Rh, H, W, dkh, dvh)
 
 
 def aa_attention_hil(
@@ -1082,16 +1218,18 @@ def aa_attention_hil(
 ) -> jnp.ndarray:
     """Token-major fused attention over separate q5/k5 (B, HW, nh, dkh) and
     v5 (B, HW, nh, dvh) operands (q5 pre-scaled by dkh**-0.5): packs them
-    and defers to aa_attention_hil_packed. The model path avoids even the
-    pack copy by emitting packed channels from the projection itself —
-    this entry is the test/generic surface. Returns (B, HW, nh, dvh)."""
+    into the 0-padded slot layout and defers to aa_attention_hil_packed.
+    The model path avoids even the pack copy by emitting packed channels
+    from the projection itself — this entry is the test/generic surface.
+    Returns (B, HW, nh, dvh)."""
     B, hw, nh, dkh = q5.shape
     dvh = v5.shape[-1]
     dt = q5.dtype
-    P0 = jnp.concatenate(
-        [q5, k5.astype(dt), v5.astype(dt)], axis=-1
-    ).reshape(B, hw, nh * (2 * dkh + dvh))
-    out = aa_attention_hil_packed(P0, rel_w, rel_h, H, W, dkh, dvh)
+    S = _hil_slot(dkh, dvh)
+    P5 = jnp.concatenate([q5, k5.astype(dt), v5.astype(dt)], axis=-1)
+    P5 = _pad_axis(P5, 3, S)                      # per-head slot 0-pad
+    out = aa_attention_hil_packed(
+        P5.reshape(B, hw, nh * S), rel_w, rel_h, H, W, dkh, dvh)
     return out.reshape(B, hw, nh, dvh)
 
 
