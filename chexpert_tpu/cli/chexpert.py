@@ -88,6 +88,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--attn_impl", default="pallas", choices=["pallas", "einsum"])
     p.add_argument("--data_workers", type=int, default=8)
     p.add_argument("--prefetch", type=int, default=2)
+    p.add_argument("--ensemble_member_chunk", type=int, default=0,
+                   help="members per stacked-vmap ensemble pass; 0 = all at "
+                        "once with auto-halving on device OOM")
     p.add_argument("--image_size", type=int, default=320)
     p.add_argument("--data_aug", action="store_true")
     p.add_argument("--packed_cache", action="store_true",
@@ -352,7 +355,7 @@ def main(argv=None) -> int:
         print(f"Running ensemble prediction using {len(paths)} checkpoints.")
         metrics = evaluate_ensemble(
             runner.model, paths, runner.state.params, runner.state.batch_stats,
-            valid_batches, runner.mesh,
+            valid_batches, runner.mesh, member_chunk=cfg.ensemble_member_chunk,
         )
         print("AUC:\n", pprint.pformat(metrics["aucs"]))
         print("Loss:\n", pprint.pformat(metrics["loss"]))

@@ -68,6 +68,9 @@ class Config:
     data_workers: int = 8
     # prefetch depth (batches resident on device ahead of compute)
     prefetch: int = 2
+    # members per stacked-vmap ensemble pass; 0 = all K at once, auto-halving
+    # on device OOM (eval/ensemble.py — K large archs @ 320^2 can exceed HBM)
+    ensemble_member_chunk: int = 0
     # input image size after center crop (reference hardcodes 320, chexpert.py:69)
     image_size: int = 320
     # random-augmentation pipeline (flip + random crop), cf 'data_aug' runs

@@ -113,36 +113,56 @@ def make_ensemble_eval_step(model, mesh, n_members: int):
     )
 
 
-def evaluate_ensemble(
-    model, paths: List[str], params_template, batch_stats_template,
-    batches: Batches, mesh,
+def _member_groups(n: int, chunk: int) -> List[range]:
+    chunk = max(1, min(chunk, n))
+    return [range(i, min(i + chunk, n)) for i in range(0, n, chunk)]
+
+
+def _evaluate_groups(
+    model, paths, params_template, batch_stats_template, batches, mesh, chunk,
 ) -> Dict:
-    assert paths, "no checkpoints found to ensemble"
-    stacked_params, stacked_stats = stack_checkpoints(
-        paths, params_template, batch_stats_template
-    )
-    memb_sh = member_sharding(mesh, len(paths))
-    stacked_params = jax.device_put(stacked_params, memb_sh)
-    stacked_stats = jax.device_put(stacked_stats, memb_sh)
-    step = make_ensemble_eval_step(model, mesh, len(paths))
-    # multi-process safe: collect this host's rows of the (K-meaned, data-
-    # sharded) arrays, allgather across hosts, mask after (same protocol as
-    # train/loop.py evaluate)
+    """One full ensemble pass with members evaluated `chunk` at a time.
+
+    Member-groups outer, valid batches inner: per-batch sums accumulate on
+    HOST as (N, C) f32 (tiny), device memory holds only one group's stacked
+    params + one vmapped forward at a time. Multiple passes over the valid
+    set is exactly the reference's protocol (chexpert.py:217-236 re-runs the
+    loader per checkpoint); chunk == K degenerates to the single-pass
+    stacked-vmap fast path."""
     from chexpert_tpu.train.loop import _host_rows
 
-    outs, targets, losses, masks = [], [], [], []
-    for batch in device_prefetch(batches, batch_sharding(mesh)):
-        o, l = step(stacked_params, stacked_stats, batch)
-        # mean over checkpoints (reference stacks dim 2 then .mean(2));
-        # computed on device so only (B, C) crosses to host
-        outs.append(_host_rows(jnp.mean(o, axis=0)))
-        losses.append(_host_rows(jnp.mean(l, axis=0)))
-        targets.append(_host_rows(batch["label"]))
-        masks.append(_host_rows(batch["mask"]))
-    outs, targets, losses, mask = (
-        np.concatenate(outs), np.concatenate(targets),
-        np.concatenate(losses), np.concatenate(masks),
-    )
+    K = len(paths)
+    steps = {}  # one compiled step per distinct group size
+    out_sum = loss_sum = targets = mask = None
+    for gi, group in enumerate(_member_groups(K, chunk)):
+        stacked_params, stacked_stats = stack_checkpoints(
+            [paths[i] for i in group], params_template, batch_stats_template
+        )
+        memb_sh = member_sharding(mesh, len(group))
+        stacked_params = jax.device_put(stacked_params, memb_sh)
+        stacked_stats = jax.device_put(stacked_stats, memb_sh)
+        if len(group) not in steps:
+            steps[len(group)] = make_ensemble_eval_step(model, mesh, len(group))
+        step = steps[len(group)]
+
+        outs, losses, tgts, msks = [], [], [], []
+        for batch in device_prefetch(batches, batch_sharding(mesh)):
+            o, l = step(stacked_params, stacked_stats, batch)
+            # sum over this group's checkpoints (meaned over ALL K below —
+            # the reference stacks dim 2 then .mean(2)); computed on device
+            # so only (B, C) crosses to host
+            outs.append(_host_rows(jnp.sum(o, axis=0)))
+            losses.append(_host_rows(jnp.sum(l, axis=0)))
+            if gi == 0:
+                tgts.append(_host_rows(batch["label"]))
+                msks.append(_host_rows(batch["mask"]))
+        del stacked_params, stacked_stats  # free before the next group stacks
+        o, l = np.concatenate(outs), np.concatenate(losses)
+        out_sum = o if out_sum is None else out_sum + o
+        loss_sum = l if loss_sum is None else loss_sum + l
+        if gi == 0:
+            targets, mask = np.concatenate(tgts), np.concatenate(msks)
+    outs, losses = out_sum / K, loss_sum / K
     if jax.process_count() > 1:
         from jax.experimental import multihost_utils
 
@@ -152,3 +172,28 @@ def evaluate_ensemble(
         )
     keep = mask.astype(bool)
     return compute_metrics(outs[keep], targets[keep], losses[keep])
+
+
+def evaluate_ensemble(
+    model, paths: List[str], params_template, batch_stats_template,
+    batches: Batches, mesh, member_chunk: int = 0,
+) -> Dict:
+    """member_chunk=0: try all K members in one stacked vmap (fastest), and
+    on device OOM halve the member chunk and retry — K members of a large
+    arch at full resolution can exceed HBM (efficientnet-b4 x10 @ 320^2 OOMs
+    a v5e chip) and the right chunk is activation-bound, which no host-side
+    estimate predicts reliably. A failed allocation leaves the live buffers
+    untouched, so retrying smaller is safe. member_chunk>0 pins the chunk."""
+    assert paths, "no checkpoints found to ensemble"
+    chunk = member_chunk or len(paths)
+    while True:
+        try:
+            return _evaluate_groups(
+                model, paths, params_template, batch_stats_template,
+                batches, mesh, chunk,
+            )
+        except Exception as e:  # jaxlib raises XlaRuntimeError subclasses
+            if "RESOURCE_EXHAUSTED" not in str(e) or chunk <= 1:
+                raise
+            chunk = (chunk + 1) // 2
+            print(f"[ensemble] device OOM — retrying with member_chunk={chunk}")

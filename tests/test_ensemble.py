@@ -116,6 +116,31 @@ def test_ensemble_member_sharding_fallback(checkpoints):
     np.testing.assert_allclose(np.asarray(out)[0], np.asarray(out)[2], atol=1e-6)
 
 
+@pytest.mark.parametrize("chunk", [1, 2, 3])
+def test_ensemble_member_chunk_matches_single_pass(checkpoints, tmp_path, chunk):
+    """Chunked member evaluation (groups of `chunk` over K=3, multiple passes
+    over the valid set) reproduces the all-at-once stacked-vmap metrics
+    exactly — the OOM fallback must not change the score semantics."""
+    from chexpert_tpu.data import Batches, ChexpertIndex, make_synthetic_dataset
+    from chexpert_tpu.eval.ensemble import evaluate_ensemble
+
+    model, paths = checkpoints
+    paths = paths + paths[:1]  # K=3: exercises an uneven trailing group
+    root = str(tmp_path)
+    make_synthetic_dataset(root, n_train=8, n_valid=12, image_size=16)
+    index = ChexpertIndex(root, mode="valid", download=False)
+    batches = Batches(index, batch_size=4, image_size=16, workers=2)
+    params, stats = init_model(model, jax.random.PRNGKey(9), (1, 16, 16, 3))
+    mesh = create_mesh(1, 1, devices=jax.devices()[:1])
+
+    ref = evaluate_ensemble(model, paths, params, stats, batches, mesh)
+    got = evaluate_ensemble(model, paths, params, stats, batches, mesh,
+                            member_chunk=chunk)
+    for c in ref["aucs"]:
+        np.testing.assert_allclose(got["aucs"][c], ref["aucs"][c], atol=1e-6)
+        np.testing.assert_allclose(got["loss"][c], ref["loss"][c], atol=1e-5)
+
+
 def test_auto_resume(tmp_path):
     """--auto_resume picks up checkpoint_latest.msgpack from output_dir."""
     from chexpert_tpu.data import make_synthetic_dataset
