@@ -685,7 +685,12 @@ def _hil_vmem_est(hw, hwp, tq, ck, nh, dkh, dvh, wh, it, H=0, W=0):
         + tq * lanes(nh * (dvh + 2)) * 4       # online-softmax carries
     )
     bwd = kview + qview + rel_ops + oh + 2 * lse_blk + out_blk + (
-        3 * tq * ck * 4                        # s / p / ds tiles
+        # (tq, ck) temporaries: s/p/dp/ds plus the exp inputs and masked
+        # copies Mosaic keeps live across the unrolled head loop — measured
+        # on-chip at HW=1600/ck=800: 7 tile-terms matches the compiler's
+        # 17.96M actual (3 terms under-counted it at 14.7M and the kernel
+        # blew the 16M scoped-vmem stack)
+        7 * tq * ck * 4
         + nh * tq * lanes(dkh + wh) * 4        # [dq;dRW;dRH] f32 scratch
         + hwp * lanes(nh * S) * it             # dP resident accumulator
         + ck * lanes(nh * S) * it              # per-chunk dkv piece
