@@ -38,13 +38,23 @@ def list_checkpoints(restore_dir: str) -> List[str]:
 
 
 def stack_checkpoints(paths: List[str], params_template, batch_stats_template):
-    """Load K checkpoints and stack params/batch_stats on a leading axis."""
+    """Load K checkpoints and stack params/batch_stats on a leading axis.
+
+    Stacked on HOST (np.stack): checkpoint leaves arrive as numpy from
+    msgpack, and stacking on device would land K unstacked copies + the
+    stacked tree in HBM before eval even starts — on a chip already holding
+    a retry's garbage that transient is what OOMs (round-4 efficientnet-b4
+    x10 gate). The caller device_puts the stacked tree once, with its
+    member sharding."""
     loaded = [
         load_model_checkpoint(p, params_template, batch_stats_template) for p in paths
     ]
-    params = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *[l["params"] for l in loaded])
+    params = jax.tree_util.tree_map(
+        lambda *xs: np.stack([np.asarray(x) for x in xs]), *[l["params"] for l in loaded]
+    )
     stats = jax.tree_util.tree_map(
-        lambda *xs: jnp.stack(xs), *[l["batch_stats"] for l in loaded]
+        lambda *xs: np.stack([np.asarray(x) for x in xs]),
+        *[l["batch_stats"] for l in loaded],
     )
     return params, stats
 
@@ -197,3 +207,12 @@ def evaluate_ensemble(
                 raise
             chunk = (chunk + 1) // 2
             print(f"[ensemble] device OOM — retrying with member_chunk={chunk}")
+            # The failed attempt's device buffers (stacked params, prefetched
+            # batches, eval intermediates) are held alive by traceback->frame
+            # reference CYCLES until the cycle collector runs — without this,
+            # each retry starts with the previous attempts' garbage resident
+            # and even chunk=1 OOMs (observed: b4 x10 gate, round 4).
+            import gc
+
+            del e
+            gc.collect()

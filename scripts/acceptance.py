@@ -62,7 +62,7 @@ ARCH_THROUGHPUT_FLOORS = {
     "aaresnet152": 97.0,        # recorded 122 img/s e2e (ACCEPTANCE r4) —
                                 # compute-bound at ~150 img/s, so e2e sits
                                 # well below the other archs by design
-    # efficientnet-b4 recorded in round 4 (ACCEPTANCE.json)
+    "efficientnet-b4": 480.0,   # recorded 601.8 img/s e2e (ACCEPTANCE r4)
 }
 
 # Per-arch mean-AUC bands on the calibrated fixture (label_noise=0.08 caps a

@@ -48,6 +48,19 @@ def test_list_checkpoints(checkpoints, tmp_path):
     assert found == sorted(paths)
 
 
+def test_stack_checkpoints_stays_on_host(checkpoints):
+    """Stacked checkpoint trees must be numpy (host) — stacking on device
+    would land K param copies in HBM before eval starts, which OOMs large
+    ensembles (efficientnet-b4 x10); the eval path device_puts once, with
+    the member sharding (ensemble.py::_evaluate_groups)."""
+    model, paths = checkpoints
+    params, stats = init_model(model, jax.random.PRNGKey(9), (1, 16, 16, 3))
+    sp, ss = stack_checkpoints(paths, params, stats)
+    for leaf in jax.tree_util.tree_leaves(sp) + jax.tree_util.tree_leaves(ss):
+        assert isinstance(leaf, np.ndarray), type(leaf)
+        assert leaf.shape[0] == len(paths)
+
+
 def test_ensemble_mean_matches_members(checkpoints):
     """Ensemble outputs == mean of per-member outputs (chexpert.py:233-234)."""
     model, paths = checkpoints
