@@ -66,14 +66,20 @@ def _forward_parity(torch_model, flax_model, params, stats, sd, head, hw, atol):
         jnp.asarray(x.transpose(0, 2, 3, 1)), train=False,
     )
     # rtol-based: randomly-initialized resnet152 logits reach ~1e6 magnitude
-    # (no final BN before the head), so an absolute tolerance is meaningless.
-    # 1e-3 is f32-accumulation-noise scale over 152 layers; a mis-mapped
-    # tensor (transpose, wrong layer) produces O(1) relative errors.
+    # (no final BN before the head), so a fixed absolute tolerance is
+    # meaningless. 1e-3 is f32-accumulation-noise scale over 152 layers; a
+    # mis-mapped tensor (transpose, wrong layer) produces O(1) relative
+    # errors. atol additionally scales with the output magnitude: logits two
+    # orders below the bulk are differences of ~1e6 intermediates, so their
+    # RELATIVE error is accumulation-order noise amplified by cancellation
+    # (observed flake: 3/2000 elements at ~750 magnitude off by 4e-3 rel).
+    atol = max(atol, 1e-5 * float(np.abs(ref_out).max()))
     np.testing.assert_allclose(np.asarray(out), ref_out, rtol=1e-3, atol=atol)
 
 
 @pytest.mark.slow
 def test_pretrained_densenet121_legacy_zoo_format(tmp_path, monkeypatch):
+    torch.manual_seed(0)  # unseeded init made the parity check order-dependent
     tm = ref_models.DenseNet(32, (6, 12, 24, 16), 64, num_classes=1000)
     # torchvision densenet121 exactly (published param count)
     assert sum(p.numel() for p in tm.parameters()) == 7_978_856
@@ -100,6 +106,7 @@ def test_pretrained_densenet121_legacy_zoo_format(tmp_path, monkeypatch):
 
 @pytest.mark.slow
 def test_pretrained_resnet152_modern_format(tmp_path, monkeypatch):
+    torch.manual_seed(0)  # unseeded init made the parity check order-dependent
     tm = ref_models.ResNet(ref_models.Bottleneck, [3, 8, 36, 3], num_classes=1000)
     # torchvision resnet152 exactly (published param count)
     assert sum(p.numel() for p in tm.parameters()) == 60_192_808
