@@ -229,8 +229,9 @@ def _torch_cpu_baselines() -> dict:
 
 def main() -> int:
     p = argparse.ArgumentParser()
-    p.add_argument("--batch", type=int, default=0,
-                   help="single batch size; default 0 = sweep 16/32/64/128/256/512 "
+    p.add_argument("--batch", default="0",
+                   help="batch size, or comma list for a custom sweep; "
+                        "default 0 = sweep 16/32/64/128/256/512 "
                         "(ignored with --model all)")
     p.add_argument("--steps", type=int, default=20)
     p.add_argument("--warmup", type=int, default=5)
@@ -298,11 +299,12 @@ def main() -> int:
             json.dump(result, open(args.out, "w"), indent=1)
         return 0
 
-    batches = [args.batch] if args.batch else [16, 32, 64, 128, 256, 512]
+    explicit_batches = [int(b) for b in str(args.batch).split(",") if int(b)]
+    batches = explicit_batches or [16, 32, 64, 128, 256, 512]
     rec = bench_arch(args.model, args.image_size, batches, args.steps,
                      args.warmup, prefix_stats=prefix_stats, remat=args.remat,
                      chunk=args.chunk, slim_bwd=args.slim_bwd,
-                     fixed_steps=bool(args.batch))
+                     fixed_steps=bool(explicit_batches))
 
     baseline = {
         "basis": "V100 fp32 peak (15.7 TFLOP/s) x generous 40% MFU / "
@@ -356,6 +358,20 @@ def main() -> int:
     print(json.dumps(result))
     if args.out:
         json.dump(result, open(args.out, "w"), indent=1)
+    if args.merge_into:
+        if prefix_stats is not None or args.remat or args.chunk or args.slim_bwd:
+            print("refusing --merge-into: A/B overrides active (the artifact "
+                  "records registry-default configurations)", file=sys.stderr)
+            return 1
+        merged = json.load(open(args.merge_into))
+        if "img_s" in sub:
+            rec["measured_torch_cpu_img_s"] = sub["img_s"]
+        merged["archs"][args.model] = rec
+        if args.model == "densenet121":
+            merged.update(value=rec["value"], vs_baseline=rec.get("vs_baseline"),
+                          best_batch=rec["best_batch"], mfu=rec["mfu"])
+        json.dump(merged, open(args.merge_into, "w"), indent=1)
+        print(f"merged {args.model} into {args.merge_into}", file=sys.stderr)
     return 0
 
 
