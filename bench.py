@@ -256,6 +256,12 @@ def main() -> int:
                         "residual; recompute it in the backward)")
     p.add_argument("--out", default="",
                    help="also write the full JSON to this path")
+    p.add_argument("--merge-into", default="", dest="merge_into",
+                   help="merge this single-model run's arch record into an "
+                        "existing --model all artifact (e.g. "
+                        "BENCH_all_r04.json) — refreshes one noisy row "
+                        "without re-benching the whole table; refused when "
+                        "A/B overrides are active")
     args = p.parse_args()
 
     from chexpert_tpu.utils.io import enable_compilation_cache
@@ -363,16 +369,24 @@ def main() -> int:
             print("refusing --merge-into: A/B overrides active (the artifact "
                   "records registry-default configurations)", file=sys.stderr)
             return 1
-        merged = json.load(open(args.merge_into))
         if "img_s" in sub:
             rec["measured_torch_cpu_img_s"] = sub["img_s"]
-        merged["archs"][args.model] = rec
-        if args.model == "densenet121":
-            merged.update(value=rec["value"], vs_baseline=rec.get("vs_baseline"),
-                          best_batch=rec["best_batch"], mfu=rec["mfu"])
-        json.dump(merged, open(args.merge_into, "w"), indent=1)
+        merge_arch_record(args.merge_into, args.model, rec)
         print(f"merged {args.model} into {args.merge_into}", file=sys.stderr)
     return 0
+
+
+def merge_arch_record(artifact_path: str, model: str, rec: dict) -> dict:
+    """Replace one arch row of a `--model all` artifact in place; the
+    headline fields track the densenet121 row (they ARE that row in the
+    artifact's schema)."""
+    merged = json.load(open(artifact_path))
+    merged["archs"][model] = rec
+    if model == "densenet121":
+        merged.update(value=rec["value"], vs_baseline=rec.get("vs_baseline"),
+                      best_batch=rec["best_batch"], mfu=rec["mfu"])
+    json.dump(merged, open(artifact_path, "w"), indent=1)
+    return merged
 
 
 if __name__ == "__main__":

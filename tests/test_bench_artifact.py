@@ -1,0 +1,45 @@
+"""Unit tests for the root bench.py artifact plumbing (no device work):
+merge_arch_record must refresh exactly one arch row of a --model all
+artifact and keep the headline fields tracking densenet121."""
+
+import importlib.util
+import json
+import os
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _load_bench():
+    spec = importlib.util.spec_from_file_location(
+        "root_bench", os.path.join(REPO, "bench.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_merge_arch_record(tmp_path):
+    bench = _load_bench()
+    artifact = {
+        "metric": "m", "value": 943.0, "vs_baseline": 5.3,
+        "best_batch": 128, "mfu": 0.17,
+        "archs": {
+            "densenet121": {"value": 943.0, "best_batch": 128, "mfu": 0.17},
+            "efficientnet-b4": {"value": 538.0, "best_batch": 128, "mfu": 0.08},
+        },
+    }
+    path = tmp_path / "bench_all.json"
+    path.write_text(json.dumps(artifact))
+
+    # non-headline arch: only its row changes
+    rec = {"value": 601.0, "best_batch": 128, "mfu": 0.09, "vs_baseline": 2.8}
+    merged = bench.merge_arch_record(str(path), "efficientnet-b4", rec)
+    assert merged["archs"]["efficientnet-b4"]["value"] == 601.0
+    assert merged["value"] == 943.0 and merged["best_batch"] == 128
+    assert json.loads(path.read_text()) == merged
+
+    # headline arch: top-level fields follow
+    rec = {"value": 1001.0, "best_batch": 128, "mfu": 0.18, "vs_baseline": 5.6}
+    merged = bench.merge_arch_record(str(path), "densenet121", rec)
+    assert merged["value"] == 1001.0 and merged["mfu"] == 0.18
+    assert merged["vs_baseline"] == 5.6
+    assert merged["archs"]["efficientnet-b4"]["value"] == 601.0
