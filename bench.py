@@ -59,6 +59,9 @@ ALL_ARCHS = [
     ("aadensenet121", 320, [64, 128]),
     ("efficientnet-b0", 320, [128, 256]),
     ("efficientnet-b4", 380, [64, 128]),
+    # largest family member; 320² matches the chexpert input size (its
+    # native 600² resolution doesn't fit useful batches on one chip)
+    ("efficientnet-b7", 320, [8, 16]),
 ]
 
 
@@ -111,7 +114,7 @@ def wait_for_device():
 
 def bench_arch(model_name: str, image_size: int, batches, steps: int,
                warmup: int, prefix_stats=None, remat: bool = False,
-               chunk: int = 0, slim_bwd: bool = False,
+               chunk: int = 0, slim_bwd: bool = False, slim_block: bool = False,
                fixed_steps: bool = False) -> dict:
     """Bench one architecture over `batches`; returns the result record."""
     from chexpert_tpu.models import build_model
@@ -122,7 +125,8 @@ def bench_arch(model_name: str, image_size: int, batches, steps: int,
     # chunk_size implies the carried-stats path inside DenseBlock
     model, spec = build_model(model_name, image_size=image_size,
                               prefix_stats=prefix_stats, remat=remat,
-                              chunk_size=chunk or None, slim_bwd=slim_bwd)
+                              chunk_size=chunk or None, slim_bwd=slim_bwd,
+                              slim_block=slim_block)
     tx, _ = make_optimizer(spec, 1e-4)
 
     rng = jax.random.PRNGKey(0)
@@ -250,6 +254,11 @@ def main() -> int:
                    help="A/B: chunked-prefix dense blocks — coalesce the "
                         "prefix into N-channel chunks (implies carried "
                         "stats; see models/densenet.py::ChunkedDenseLayer)")
+    p.add_argument("--slim-block", action="store_true",
+                   help="A/B: BLOCK-level slim residuals — one remat scope "
+                        "per dense block excluding the O(L^2) norm1+relu "
+                        "residual by name (bounded-HLO alternative to "
+                        "--slim-bwd's per-layer policy)")
     p.add_argument("--slim-bwd", action="store_true",
                    help="A/B: slim autodiff residuals for carried-stats "
                         "dense layers (exclude the O(L^2) norm1+relu "
@@ -310,6 +319,7 @@ def main() -> int:
     rec = bench_arch(args.model, args.image_size, batches, args.steps,
                      args.warmup, prefix_stats=prefix_stats, remat=args.remat,
                      chunk=args.chunk, slim_bwd=args.slim_bwd,
+                     slim_block=args.slim_block,
                      fixed_steps=bool(explicit_batches))
 
     baseline = {
@@ -365,7 +375,8 @@ def main() -> int:
     if args.out:
         json.dump(result, open(args.out, "w"), indent=1)
     if args.merge_into:
-        if prefix_stats is not None or args.remat or args.chunk or args.slim_bwd:
+        if (prefix_stats is not None or args.remat or args.chunk
+                or args.slim_bwd or args.slim_block):
             print("refusing --merge-into: A/B overrides active (the artifact "
                   "records registry-default configurations)", file=sys.stderr)
             return 1

@@ -213,6 +213,25 @@ def evaluate_ensemble(
             # each retry starts with the previous attempts' garbage resident
             # and even chunk=1 OOMs (observed: b4 x10 gate, round 4).
             import gc
+            import time
 
             del e
             gc.collect()
+            # gc.collect alone proved insufficient (b4 x10 gate OOM'd down to
+            # chunk=1 at a 69 MB device_put): the failed chunk sizes' compiled
+            # executables stay in jax's global jit cache — on TPU each
+            # executable pins its device program plus any constants — and the
+            # abandoned prefetch producer thread can hold one device batch
+            # for up to its 0.2 s put timeout after the generator finalizer
+            # signals it. Drop the executable cache and give the producer a
+            # beat to exit before re-allocating.
+            jax.clear_caches()
+            gc.collect()
+            time.sleep(0.5)
+            live = sorted(jax.live_arrays(), key=lambda a: -a.nbytes)
+            total = sum(a.nbytes for a in live)
+            top = ", ".join(
+                f"{a.shape}/{a.dtype}:{a.nbytes / 1e6:.0f}MB" for a in live[:6]
+            )
+            print(f"[ensemble] live device arrays after cleanup: "
+                  f"{total / 1e9:.2f} GB ({len(live)}); top: {top}")

@@ -62,8 +62,15 @@ class DenseLayer(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool):
+        from jax.ad_checkpoint import checkpoint_name
+
         y = batch_norm(train, dtype=self.dtype, name="norm1")(x)
-        y = nn.relu(y)
+        # named for the block-level slim-residuals policy (DenseNet
+        # slim_block): this full-prefix-width tensor is the O(L^2) autodiff
+        # residual; norm1's mean/var are separate (tiny, saved)
+        # intermediates, so recomputing it in the backward is a pure affine
+        # of the saved concat. A no-op without a remat policy in scope.
+        y = checkpoint_name(nn.relu(y), "dense_norm1_relu")
         y = conv(
             self.bn_size * self.growth_rate, 1, dtype=self.dtype,
             kernel_init=kaiming_normal_in_normal, name="conv1",
@@ -453,6 +460,14 @@ class DenseNet(nn.Module):
     prefix_stats: bool = False  # carried-stats dense layers (see PrefixDenseLayer)
     chunk_size: int = 0  # with prefix_stats: chunked prefix (ChunkedDenseLayer)
     slim_bwd: bool = False  # with prefix_stats: slim autodiff residuals (DenseBlock)
+    slim_block: bool = False  # BLOCK-level slim residuals: one remat scope
+    # per dense block (4 total) saving everything except the named
+    # "dense_norm1_relu" tensors — the O(L^2)-byte normed conv1 inputs —
+    # which the backward recomputes as an affine of the saved concat +
+    # saved/carried stats. Same effect as slim_bwd's per-layer policy
+    # (~58 scopes, which blows up the TPU AOT compiler at production
+    # scale) at a bounded HLO size; works on BOTH the standard and the
+    # carried-stats layer paths (both name their norm1+relu output).
     remat: bool = False  # rematerialized dense blocks: save only block
     # boundaries, recompute layer intermediates in the backward. DenseNet
     # trains at 27-44 FLOP/byte vs the v5e balance point of ~240 (bench.py
@@ -486,17 +501,26 @@ class DenseNet(nn.Module):
 
         num_features = self.num_init_features
         block_cls = DenseBlock
+        if self.remat and self.slim_block:
+            raise ValueError("remat and slim_block are mutually exclusive "
+                             "remat policies for the dense blocks")
         if self.remat:
             # static_argnums: `train` is a Python bool branching the graph.
             # Mutable batch_stats updates are lifted through the checkpoint
             # by flax; policy None = save nothing inside the block.
             block_cls = nn.remat(DenseBlock, static_argnums=(2,))
+        elif self.slim_block:
+            block_cls = nn.remat(
+                DenseBlock, static_argnums=(2,),
+                policy=jax.checkpoint_policies.save_anything_except_these_names(
+                    "dense_norm1_relu"),
+            )
         for i, num_layers in enumerate(self.block_config):
             x = block_cls(
                 num_layers, self.growth_rate, self.bn_size, self.drop_rate,
                 self.dtype, concat_free=self.concat_free,
                 prefix_stats=self.prefix_stats, chunk_size=self.chunk_size,
-                slim_bwd=self.slim_bwd,
+                slim_bwd=self.slim_bwd and not self.slim_block,
                 name=f"denseblock{i + 1}",
             )(x, train)
             num_features += num_layers * self.growth_rate

@@ -47,6 +47,7 @@ def build_model(
     remat: bool = False,
     chunk_size: Optional[int] = None,
     slim_bwd: Optional[bool] = None,
+    slim_block: Optional[bool] = None,
 ) -> Tuple[nn.Module, OptimizerSpec]:
     # prefix_stats: carried-stats dense blocks (models/densenet.py _PrefixBN)
     # — numerically identical (tests/test_prefix_stats.py), same param tree.
@@ -56,10 +57,11 @@ def build_model(
     # bytes-accessed per step) and ON for aadensenet121 (805 vs 753 img/s).
     # None = use the arch's measured default; pass a bool to override (A/B).
     # remat: rematerialized dense blocks (perf experiment; see DenseNet.remat).
-    if remat and "densenet" not in name:
+    if (remat or slim_block) and "densenet" not in name:
         raise ValueError(
-            f"remat=True is only consumed by the DenseNet family; {name!r} "
-            "would silently run the standard model while reporting 'remat'"
+            f"remat/slim_block are only consumed by the DenseNet family; "
+            f"{name!r} would silently run the standard model while "
+            "reporting the variant"
         )
     if name == "densenet121":
         return (
@@ -67,7 +69,7 @@ def build_model(
                      prefix_stats=prefix_stats if prefix_stats is not None else False,
                      remat=remat,
                      chunk_size=chunk_size if chunk_size is not None else 0,
-                     slim_bwd=bool(slim_bwd)),
+                     slim_bwd=bool(slim_bwd), slim_block=bool(slim_block)),
             OptimizerSpec("adam"),
         )
     if name == "aadensenet121":
@@ -78,7 +80,7 @@ def build_model(
                      prefix_stats=prefix_stats if prefix_stats is not None else True,
                      remat=remat,
                      chunk_size=chunk_size if chunk_size is not None else 0,
-                     slim_bwd=bool(slim_bwd)),
+                     slim_bwd=bool(slim_bwd), slim_block=bool(slim_block)),
             OptimizerSpec("sgd_nesterov", "multistep", milestones=(40000, 60000)),
         )
     if name == "resnet152":
@@ -105,7 +107,7 @@ def build_model(
                      prefix_stats=prefix_stats if prefix_stats is not None else True,
                      remat=remat,
                      chunk_size=chunk_size if chunk_size is not None else 0,
-                     slim_bwd=bool(slim_bwd)),
+                     slim_bwd=bool(slim_bwd), slim_block=bool(slim_block)),
             OptimizerSpec("adam"),
         )
     if name == "aadensenet-tiny":
@@ -116,7 +118,7 @@ def build_model(
                      prefix_stats=prefix_stats if prefix_stats is not None else True,
                      remat=remat,
                      chunk_size=chunk_size if chunk_size is not None else 0,
-                     slim_bwd=bool(slim_bwd)),
+                     slim_bwd=bool(slim_bwd), slim_block=bool(slim_block)),
             OptimizerSpec("adam"),
         )
     raise RuntimeError(f"Model architecture not supported: {name}")
