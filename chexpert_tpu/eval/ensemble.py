@@ -128,6 +128,109 @@ def _member_groups(n: int, chunk: int) -> List[range]:
     return [range(i, min(i + chunk, n)) for i in range(0, n, chunk)]
 
 
+# HBM per chip by device_kind, for backends whose memory_stats() returns None
+# (axon does). Conservative where a kind is ambiguous.
+_HBM_GIB_BY_KIND = {
+    "TPU v2": 8, "TPU v3": 16, "TPU v4": 32,
+    "TPU v5 lite": 16, "TPU v5": 95, "TPU v6 lite": 32,
+}
+
+
+def _device_budget_bytes(dev) -> float:
+    """Free-HBM budget for planning: reported stats when the backend has
+    them, else a device-kind table minus this process's JAX-visible live
+    bytes; 10% safety margin plus a 1 GiB reserve for prefetch buffers,
+    outputs, and fragmentation either way. CHEXPERT_HBM_GB overrides the
+    table (e.g. for a new device kind)."""
+    env = os.environ.get("CHEXPERT_HBM_GB")
+    stats = None
+    try:
+        stats = dev.memory_stats()
+    except Exception:
+        pass
+    if stats and "bytes_limit" in stats and not env:
+        avail = stats["bytes_limit"] - stats.get("bytes_in_use", 0)
+    else:
+        if env:
+            total = float(env) * 2**30
+        else:
+            kind = getattr(dev, "device_kind", "")
+            total = _HBM_GIB_BY_KIND.get(kind, 16) * 2**30
+        live = sum(a.nbytes for a in jax.live_arrays())
+        avail = total - live
+    return 0.9 * avail - 2**30
+
+
+def _fit_member_chunk(n_members: int, budget: float, cost_of) -> int:
+    """Largest member chunk whose COMPILED memory footprint fits `budget`.
+
+    cost_of(k) must return the k-member executable's bytes (temp + args +
+    out) from XLA memory analysis — measured per candidate, not extrapolated
+    from k=1, because vmap temp scales super-linearly at first: measured on
+    efficientnet-b4 @320^2 batch 64, k=1 costs 0.82 GB but k=5 costs 8.45 GB
+    and k=10 16.8 GB (~1.6 GB/member once k>1). After each shrink the chunk
+    is re-balanced to ceil(n/passes) so the size we compile-to-verify is the
+    size execution will actually use (and hit in the XLA cache)."""
+    chunk = n_members
+    while True:
+        cost = cost_of(chunk)
+        if cost <= budget or chunk == 1:
+            return chunk
+        smaller = min(chunk - 1, max(1, int(chunk * budget / cost)))
+        passes = -(-n_members // smaller)  # ceil
+        chunk = -(-n_members // passes)
+
+
+def _plan_member_chunk(
+    model, mesh, n_members, params_template, batch_stats_template, batches,
+) -> int:
+    """Pick the largest member chunk that FITS before allocating anything.
+
+    The OOM-halving retry is a last resort, not a search strategy: on the
+    axon TPU backend a failed execution leaks backend-side memory that
+    jax.live_arrays() cannot see (observed round 4: after a 10-member
+    efficientnet-b4 attempt OOM'd, every retry OOM'd down to a 69 MB
+    device_put at chunk=1 with only 0.91 GB of JAX-visible arrays resident).
+    So plan instead of probing: lower+compile candidate steps on SHAPES ONLY
+    (jax.ShapeDtypeStruct — no device allocation), read each executable's
+    memory_analysis, and shrink until the footprint fits the free-HBM budget
+    (_fit_member_chunk). TPU only — host backends page and don't hard-OOM."""
+    dev = mesh.devices.flat[0]
+    if n_members == 1 or dev.platform != "tpu":
+        return n_members
+
+    b0 = next(iter(batches))
+
+    def shape_of(x, lead=None):
+        arr = np.asarray(x)
+        shp = ((lead,) + arr.shape) if lead is not None else arr.shape
+        return jax.ShapeDtypeStruct(shp, arr.dtype)
+
+    def cost_of(k: int) -> float:
+        pk = jax.tree_util.tree_map(lambda x: shape_of(x, k), params_template)
+        sk = jax.tree_util.tree_map(lambda x: shape_of(x, k), batch_stats_template)
+        ab = jax.tree_util.tree_map(shape_of, dict(b0))
+        ma = make_ensemble_eval_step(model, mesh, k).lower(pk, sk, ab).compile(
+        ).memory_analysis()
+        cost = float(ma.temp_size_in_bytes + ma.argument_size_in_bytes
+                     + ma.output_size_in_bytes)
+        print(f"[ensemble] planned footprint for {k} members: "
+              f"{cost / 1e9:.2f} GB (XLA memory analysis)")
+        return cost
+
+    try:
+        budget = _device_budget_bytes(dev)
+        chunk = _fit_member_chunk(n_members, budget, cost_of)
+    except Exception as e:  # memory_analysis is backend-dependent
+        print(f"[ensemble] chunk planning unavailable ({type(e).__name__}: {e}); "
+              "starting at all members")
+        return n_members
+    if chunk < n_members:
+        print(f"[ensemble] planned member_chunk={chunk} "
+              f"(free-HBM budget {budget / 1e9:.1f} GB)")
+    return chunk
+
+
 def _evaluate_groups(
     model, paths, params_template, batch_stats_template, batches, mesh, chunk,
 ) -> Dict:
@@ -191,11 +294,15 @@ def evaluate_ensemble(
     """member_chunk=0: try all K members in one stacked vmap (fastest), and
     on device OOM halve the member chunk and retry — K members of a large
     arch at full resolution can exceed HBM (efficientnet-b4 x10 @ 320^2 OOMs
-    a v5e chip) and the right chunk is activation-bound, which no host-side
-    estimate predicts reliably. A failed allocation leaves the live buffers
-    untouched, so retrying smaller is safe. member_chunk>0 pins the chunk."""
+    a v5e chip). The starting chunk is PLANNED from the compiled step's XLA
+    memory analysis vs the device's free HBM (_plan_member_chunk) because on
+    this backend a failed execution can leak backend-side memory and poison
+    every retry; the halving loop remains as a backstop only.
+    member_chunk>0 pins the chunk and skips planning."""
     assert paths, "no checkpoints found to ensemble"
-    chunk = member_chunk or len(paths)
+    chunk = member_chunk or _plan_member_chunk(
+        model, mesh, len(paths), params_template, batch_stats_template, batches
+    )
     while True:
         try:
             return _evaluate_groups(

@@ -177,3 +177,68 @@ def test_auto_resume(tmp_path):
     steps = [json.loads(l)["step"] for l in open(os.path.join(root, "run", "scalars.jsonl"))
              if json.loads(l).get("tag") == "train_loss"]
     assert max(steps) == 4  # 2 epochs x 2 steps, continued counter
+
+
+def test_fit_member_chunk_measured_b4_profile():
+    """Planner search against the measured efficientnet-b4 @320^2 batch-64
+    cost curve (k=1: 0.82 GB, k=5: 8.45 GB, k=10: 16.8 GB — vmap temp is
+    super-linear at first, ~1.68 GB/member for k>1). With a 14.6 GB budget
+    the right answer is 5 (10 members in two balanced passes), reached
+    WITHOUT compiling every k."""
+    from chexpert_tpu.eval.ensemble import _fit_member_chunk
+
+    compiled = []
+
+    def cost_of(k):
+        compiled.append(k)
+        return 0.82e9 if k == 1 else (0.168e9 + 1.68e9 * k)
+
+    chunk = _fit_member_chunk(10, 14.6e9, cost_of)
+    assert chunk == 5
+    # one probe at 10, one verification at the final balanced size
+    assert compiled == [10, 5]
+
+
+def test_fit_member_chunk_fits_first_try():
+    from chexpert_tpu.eval.ensemble import _fit_member_chunk
+
+    compiled = []
+    chunk = _fit_member_chunk(10, 1e12, lambda k: compiled.append(k) or 1e9 * k)
+    assert chunk == 10 and compiled == [10]
+
+
+def test_fit_member_chunk_floors_at_one():
+    from chexpert_tpu.eval.ensemble import _fit_member_chunk
+
+    # nothing fits: must still terminate and return 1
+    assert _fit_member_chunk(8, 0.5e9, lambda k: 1e9 * k) == 1
+
+
+def test_device_budget_kind_table(monkeypatch):
+    """Axon's memory_stats() returns None; the budget must fall back to the
+    device-kind table (TPU v5 lite = 16 GiB) minus live bytes, with margin."""
+    from chexpert_tpu.eval.ensemble import _device_budget_bytes
+
+    class Dev:
+        device_kind = "TPU v5 lite"
+
+        def memory_stats(self):
+            return None
+
+    monkeypatch.delenv("CHEXPERT_HBM_GB", raising=False)
+    live = sum(a.nbytes for a in jax.live_arrays())
+    expect = 0.9 * (16 * 2**30 - live) - 2**30
+    assert abs(_device_budget_bytes(Dev()) - expect) < 64e6  # live set may drift
+
+    monkeypatch.setenv("CHEXPERT_HBM_GB", "32")
+    assert _device_budget_bytes(Dev()) > expect + 10 * 2**30
+
+
+def test_device_budget_reported_stats():
+    from chexpert_tpu.eval.ensemble import _device_budget_bytes
+
+    class Dev:
+        def memory_stats(self):
+            return {"bytes_limit": 10 * 2**30, "bytes_in_use": 2 * 2**30}
+
+    assert _device_budget_bytes(Dev()) == 0.9 * 8 * 2**30 - 2**30
