@@ -84,6 +84,11 @@ ARCH_AUC_BANDS = {
     "aaresnet152": (0.77, 0.97),      # recorded 0.8213 / 0.8290 (slow
                                       # converger in the gate's ~100 steps)
     "efficientnet-b0": (0.78, 0.97),  # recorded 0.8370 / 0.8276
+    "efficientnet-b4": (0.75, 0.97),  # recorded 0.7987 / 0.7818 (slowest
+                                      # converger: BN momentum 0.01 +
+                                      # 17.3M params vs the gate's ~320
+                                      # steps; REPRODUCE.md's real-data
+                                      # recipe runs 60k+ steps)
 }
 
 
