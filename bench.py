@@ -280,6 +280,23 @@ def main() -> int:
     prefix_stats = True if args.prefix_stats else (
         False if args.no_prefix_stats else None)  # None = arch default
 
+    if args.merge_into:
+        # validate BEFORE benching — a refused merge after an hour on the
+        # chip wastes the run (round 4: a b4 row refresh silently merged a
+        # 320^2 run over the table's 380^2 record)
+        if (prefix_stats is not None or args.remat or args.chunk
+                or args.slim_bwd or args.slim_block):
+            print("refusing --merge-into: A/B overrides active (the artifact "
+                  "records registry-default configurations)", file=sys.stderr)
+            return 1
+        table_size = {m: s for m, s, _ in ALL_ARCHS}.get(args.model)
+        if table_size is not None and table_size != args.image_size:
+            print(f"refusing --merge-into: {args.model}'s table row is at "
+                  f"{table_size}x{table_size}, this run is "
+                  f"{args.image_size}x{args.image_size} (pass --image-size "
+                  f"{table_size})", file=sys.stderr)
+            return 1
+
     if args.model == "all":
         archs = {}
         cpu = _torch_cpu_baselines()
@@ -354,13 +371,18 @@ def main() -> int:
         "sweep": rec["sweep"],
         "sweep_spread_pct": rec["sweep_spread_pct"],
         # The non-monotonic sweep (dip at batch 64) is a LAYOUT-ASSIGNMENT
-        # flip, traced r4: at batch 64 XLA lays the 80x80-stage maps out
-        # C-minor ({3,0,2,1}), which keeps the per-layer concats as separate
-        # half-bandwidth ops; at 128 it picks {0,3,2,1} and fuses them into
-        # the stat/conv fusions. Per-image traffic: 845 vs 761 MB (+11%),
-        # matching the -12% dip (scripts/analyze_trace.py on the two traces).
-        "sweep_note": "batch-64 dip = XLA layout flip at the 80x80 stage "
-                      "(C-minor keeps concats unfused; +11% bytes/img)",
+        # flip, traced r4 on densenet121: at batch 64 XLA lays the
+        # 80x80-stage maps out C-minor ({3,0,2,1}), which keeps the
+        # per-layer concats as separate half-bandwidth ops; at 128 it picks
+        # {0,3,2,1} and fuses them into the stat/conv fusions. Per-image
+        # traffic: 845 vs 761 MB (+11%), matching the -12% dip
+        # (scripts/analyze_trace.py on the two traces). The trace is
+        # DenseNet-specific (the flipped ops are its dense-block concats),
+        # so the note only annotates that family's records.
+        **({"sweep_note": "batch-64 dip = XLA layout flip at the 80x80 "
+                          "stage (C-minor keeps concats unfused; "
+                          "+11% bytes/img)"}
+           if "densenet" in args.model else {}),
         # Bound analysis (VERDICT r2 task 2): arithmetic intensity is
         # ~27-41 FLOP/B vs the v5e balance point of ~240 — the step
         # is HBM-bandwidth-bound by architecture (DenseNet re-reads
@@ -375,11 +397,6 @@ def main() -> int:
     if args.out:
         json.dump(result, open(args.out, "w"), indent=1)
     if args.merge_into:
-        if (prefix_stats is not None or args.remat or args.chunk
-                or args.slim_bwd or args.slim_block):
-            print("refusing --merge-into: A/B overrides active (the artifact "
-                  "records registry-default configurations)", file=sys.stderr)
-            return 1
         if "img_s" in sub:
             rec["measured_torch_cpu_img_s"] = sub["img_s"]
         merge_arch_record(args.merge_into, args.model, rec)
