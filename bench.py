@@ -223,6 +223,107 @@ def bench_arch(model_name: str, image_size: int, batches, steps: int,
     return rec
 
 
+def infer_batches(table_batches) -> list:
+    """Inference sweep for an arch: batch 1 (request latency), the arch's
+    best train batch, and 2x it (eval holds no optimizer state or residuals,
+    so it affords roughly double the train batch)."""
+    top = max(table_batches)
+    return [1, top, 2 * top]
+
+
+def bench_infer_arch(model_name: str, image_size: int, batches,
+                     steps: int, warmup: int) -> dict:
+    """Forward-only (serving-path) throughput + latency for one arch.
+
+    Times the SAME compiled eval step the evaluate/predict/serve paths use
+    (train/steps.py::make_eval_step: bf16 forward, f32 outputs + per-element
+    losses), running BN statistics, no gradients. batch=1's ms/request is
+    reported as serving latency (cli/serve.py's default micro_batch)."""
+    from chexpert_tpu.models import build_model
+    from chexpert_tpu.parallel.mesh import batch_sharding, create_mesh, replicated
+    from chexpert_tpu.train import TrainState, init_model, jit_steps, make_optimizer
+
+    dev = jax.devices()[0]
+    model, spec = build_model(model_name, image_size=image_size)
+    tx, _ = make_optimizer(spec, 1e-4)
+    hw = image_size
+    params, stats = init_model(model, jax.random.PRNGKey(0), (1, hw, hw, 3))
+    state = TrainState.create(params, stats, tx)
+    mesh = create_mesh(1, 1, devices=[dev])
+    _, eval_step = jit_steps(model, tx, mesh)
+    state = jax.device_put(state, replicated(mesh))
+
+    def make_batch(bs: int):
+        b = {
+            "image": jnp.asarray(
+                np.random.RandomState(0).randn(bs, hw, hw, 3), jnp.float32
+            ),
+            "label": jnp.asarray(
+                (np.random.RandomState(1).rand(bs, 5) > 0.5), jnp.float32
+            ),
+            "index": jnp.zeros((bs,), jnp.int32),
+            "mask": jnp.ones((bs,), jnp.float32),
+        }
+        return jax.device_put(b, batch_sharding(mesh))
+
+    sweep, spreads, roofline, flops_per_img = {}, {}, {}, None
+    for bs in batches:
+        try:
+            batch = make_batch(bs)
+            f, byt = _cost_per_step(eval_step.lower(state, batch).compile())
+            if flops_per_img is None and f:
+                flops_per_img = f / bs
+            if f and byt:
+                roofline[bs] = {
+                    "ai_flop_per_byte": round(f / byt, 1),
+                    "xla_bytes_gb": round(byt / 1e9, 2),
+                    "hbm_floor_img_s": round(bs / (byt / TPU_V5E_HBM_BW), 1),
+                }
+            out, per_elem = eval_step(state, batch)  # compile
+        except Exception as e:
+            if "RESOURCE_EXHAUSTED" in str(e) or "out of memory" in str(e).lower():
+                sweep[bs] = "oom"
+                continue
+            raise
+        assert np.isfinite(float(jnp.sum(per_elem))), f"non-finite at batch {bs}"
+        for _ in range(warmup - 1):
+            out, per_elem = eval_step(state, batch)
+        float(jnp.sum(per_elem))  # sync
+        n = max(8, min(4 * steps, 3840 // bs))
+        dts = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            for _ in range(n):
+                out, per_elem = eval_step(state, batch)
+            float(jnp.sum(per_elem))  # hard sync (axon: value fetch, not b_u_r)
+            dts.append(time.perf_counter() - t0)
+        med = sorted(dts)[1]
+        sweep[bs] = round(bs * n / med, 2)
+        spreads[bs] = round(100.0 * (max(dts) - min(dts)) / med, 1)
+
+    measured = {b: v for b, v in sweep.items() if v != "oom"}
+    best_bs = max(measured, key=measured.get)
+    img_s = measured[best_bs]
+    rec = {
+        "model": model_name,
+        "image_size": image_size,
+        "value": img_s,
+        "unit": "images/sec",
+        "best_batch": best_bs,
+        "spread_pct": spreads.get(best_bs),
+        "mfu": (round(img_s * flops_per_img / TPU_V5E_BF16_PEAK, 4)
+                if flops_per_img else None),
+        "sweep": sweep,
+        "sweep_spread_pct": spreads,
+        "roofline": roofline,
+    }
+    if 1 in measured:
+        rec["latency_ms_b1"] = round(1000.0 / measured[1], 2)
+    if flops_per_img:
+        rec["infer_gflops_per_image"] = round(flops_per_img / 1e9, 2)
+    return rec
+
+
 def _torch_cpu_baselines() -> dict:
     cpu_json = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                             "BASELINE_TORCH_CPU.json")
@@ -242,6 +343,12 @@ def main() -> int:
     p.add_argument("--image-size", type=int, default=320)
     p.add_argument("--model", default="densenet121",
                    help="architecture, or 'all' for the README perf-table set")
+    p.add_argument("--infer", action="store_true",
+                   help="bench the forward-only eval step (serving path) "
+                        "instead of the train step: throughput sweep over "
+                        "[1, best-train-batch, 2x], batch-1 ms/request as "
+                        "latency; --merge-into attaches it under the arch "
+                        "row's 'infer' key")
     ps = p.add_mutually_exclusive_group()
     ps.add_argument("--prefix-stats", action="store_true",
                     help="A/B: force carried-stats dense blocks ON")
@@ -296,6 +403,40 @@ def main() -> int:
                   f"{args.image_size}x{args.image_size} (pass --image-size "
                   f"{table_size})", file=sys.stderr)
             return 1
+
+    if args.infer:
+        table = {m: (s, b) for m, s, b in ALL_ARCHS}
+        names = [m for m, _, _ in ALL_ARCHS] if args.model == "all" else [args.model]
+        recs = {}
+        for name in names:
+            hw, tb = table.get(name, (args.image_size, [64]))
+            batches = ([int(b) for b in args.batch.split(",")]
+                       if args.batch != "0" and args.model != "all"
+                       else infer_batches(tb))
+            recs[name] = bench_infer_arch(name, hw, batches,
+                                          args.steps, args.warmup)
+            print(f"[bench infer] {name}@{hw}: {recs[name]['value']} img/s "
+                  f"(batch {recs[name]['best_batch']}, "
+                  f"b1 {recs[name].get('latency_ms_b1')} ms)", file=sys.stderr)
+        one = recs[names[0]]
+        result = {
+            "metric": (f"{names[0]} eval fwd images/sec/chip "
+                       f"(serving path, bf16)" if len(names) == 1 else
+                       "eval fwd images/sec/chip per arch (serving path; "
+                       "see `archs`)"),
+            "value": one["value"],
+            "unit": "images/sec",
+            **({"archs": recs} if len(names) > 1 else
+               {k: v for k, v in one.items() if k not in ("model", "value", "unit")}),
+        }
+        print(json.dumps(result))
+        if args.out:
+            json.dump(result, open(args.out, "w"), indent=1)
+        if args.merge_into:
+            for name, rec in recs.items():
+                merge_arch_record(args.merge_into, name, rec, subkey="infer")
+            print(f"merged infer rows into {args.merge_into}", file=sys.stderr)
+        return 0
 
     if args.model == "all":
         archs = {}
@@ -404,15 +545,20 @@ def main() -> int:
     return 0
 
 
-def merge_arch_record(artifact_path: str, model: str, rec: dict) -> dict:
+def merge_arch_record(artifact_path: str, model: str, rec: dict,
+                      subkey: str = "") -> dict:
     """Replace one arch row of a `--model all` artifact in place; the
     headline fields track the densenet121 row (they ARE that row in the
-    artifact's schema)."""
+    artifact's schema). With `subkey` (e.g. "infer"), attach the record
+    under that key of the existing arch row instead of replacing the row."""
     merged = json.load(open(artifact_path))
-    merged["archs"][model] = rec
-    if model == "densenet121":
-        merged.update(value=rec["value"], vs_baseline=rec.get("vs_baseline"),
-                      best_batch=rec["best_batch"], mfu=rec["mfu"])
+    if subkey:
+        merged["archs"].setdefault(model, {"model": model})[subkey] = rec
+    else:
+        merged["archs"][model] = rec
+        if model == "densenet121":
+            merged.update(value=rec["value"], vs_baseline=rec.get("vs_baseline"),
+                          best_batch=rec["best_batch"], mfu=rec["mfu"])
     json.dump(merged, open(artifact_path, "w"), indent=1)
     return merged
 

@@ -43,3 +43,30 @@ def test_merge_arch_record(tmp_path):
     assert merged["value"] == 1001.0 and merged["mfu"] == 0.18
     assert merged["vs_baseline"] == 5.6
     assert merged["archs"]["efficientnet-b4"]["value"] == 601.0
+
+
+def test_merge_arch_record_infer_subkey(tmp_path):
+    """--infer --merge-into attaches under the arch row's 'infer' key and
+    must not clobber the train-row fields (or the headline)."""
+    bench = _load_bench()
+    artifact = {
+        "metric": "m", "value": 943.0, "vs_baseline": 5.3,
+        "best_batch": 128, "mfu": 0.17,
+        "archs": {
+            "densenet121": {"value": 943.0, "best_batch": 128, "mfu": 0.17},
+        },
+    }
+    path = tmp_path / "bench_all.json"
+    path.write_text(json.dumps(artifact))
+    infer_rec = {"model": "densenet121", "value": 3000.0, "best_batch": 256,
+                 "latency_ms_b1": 9.1}
+    bench.merge_arch_record(str(path), "densenet121", infer_rec, subkey="infer")
+    got = json.loads(path.read_text())
+    row = got["archs"]["densenet121"]
+    assert row["value"] == 943.0 and row["infer"]["value"] == 3000.0
+    assert got["value"] == 943.0  # headline untouched by an infer merge
+    # arch not yet in the table gets a stub row holding only the subkey
+    bench.merge_arch_record(str(path), "efficientnet-b7",
+                            {"value": 700.0}, subkey="infer")
+    got = json.loads(path.read_text())
+    assert got["archs"]["efficientnet-b7"]["infer"]["value"] == 700.0
