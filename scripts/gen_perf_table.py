@@ -24,16 +24,24 @@ END = "<!-- END BENCH_TABLE -->"
 
 def render(artifact_path: str) -> str:
     d = json.load(open(artifact_path))
+    has_infer = any("infer" in a for a in d["archs"].values())
     rows = []
     for name, a in d["archs"].items():
         sweep = ", ".join(f"{b}→{v:.0f}" for b, v in a["sweep"].items())
         cpu = a.get("measured_torch_cpu_img_s")
         vs_cpu = f"{a['value'] / cpu:,.0f}×" if cpu else "—"
-        rows.append(
+        row = (
             f"| {name} @ {a['image_size']}² | **{a['value']:.0f}** "
             f"(batch {a['best_batch']}, ±{a['spread_pct']}%) | {sweep} "
             f"| {a['mfu'] * 100:.1f}% | {a['vs_baseline']:.1f}× | {vs_cpu} |"
         )
+        if has_infer:
+            inf = a.get("infer")
+            row += (f" **{inf['value']:,.0f}** (b1: {inf['latency_ms_b1']} ms) |"
+                    if inf else " — |")
+        rows.append(row)
+    infer_head = " infer img/s (b=1 latency) |" if has_infer else ""
+    infer_sep = "---|" if has_infer else ""
     head = (
         f"_Generated from `{os.path.basename(artifact_path)}` "
         "(one `bench.py --model all` run on one TPU v5e chip; train fwd+bwd, "
@@ -41,9 +49,14 @@ def render(artifact_path: str) -> str:
         "generous 40%-MFU V100 estimate for the torch reference "
         "(`ref_bound_img_s`, see BASELINE.md); `vs torch-CPU` is the ratio "
         "to the reference's own code measured on this host "
-        "(`BASELINE_TORCH_CPU.json`)._\n\n"
-        "| arch | img/s | batch sweep | MFU | vs V100-bound | vs torch-CPU |\n"
-        "|---|---|---|---|---|---|"
+        "(`BASELINE_TORCH_CPU.json`)."
+        + (" Infer = the forward-only serving path (`bench.py --infer`): "
+           "best-batch throughput and single-image latency." if has_infer
+           else "")
+        + "_\n\n"
+        "| arch | img/s | batch sweep | MFU | vs V100-bound | vs torch-CPU |"
+        + infer_head + "\n"
+        "|---|---|---|---|---|---|" + infer_sep
     )
     return head + "\n" + "\n".join(rows)
 
