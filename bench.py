@@ -112,30 +112,26 @@ def wait_for_device():
         time.sleep(30)
 
 
-def bench_arch(model_name: str, image_size: int, batches, steps: int,
-               warmup: int, prefix_stats=None, remat: bool = False,
-               chunk: int = 0, slim_bwd: bool = False, slim_block: bool = False,
-               fixed_steps: bool = False) -> dict:
-    """Bench one architecture over `batches`; returns the result record."""
+def _is_oom(e: Exception) -> bool:
+    return ("RESOURCE_EXHAUSTED" in str(e)
+            or "out of memory" in str(e).lower())
+
+
+def _setup_arch(model_name: str, image_size: int, **build_kw):
+    """Model + replicated TrainState + 1-chip mesh + (train_step, eval_step,
+    make_batch) — the shared scaffolding of both bench modes."""
     from chexpert_tpu.models import build_model
     from chexpert_tpu.parallel.mesh import batch_sharding, create_mesh, replicated
     from chexpert_tpu.train import TrainState, init_model, jit_steps, make_optimizer
 
     dev = jax.devices()[0]
-    # chunk_size implies the carried-stats path inside DenseBlock
-    model, spec = build_model(model_name, image_size=image_size,
-                              prefix_stats=prefix_stats, remat=remat,
-                              chunk_size=chunk or None, slim_bwd=slim_bwd,
-                              slim_block=slim_block)
+    model, spec = build_model(model_name, image_size=image_size, **build_kw)
     tx, _ = make_optimizer(spec, 1e-4)
-
-    rng = jax.random.PRNGKey(0)
     hw = image_size
-    params, stats = init_model(model, rng, (1, hw, hw, 3))
+    params, stats = init_model(model, jax.random.PRNGKey(0), (1, hw, hw, 3))
     state = TrainState.create(params, stats, tx)
-
     mesh = create_mesh(1, 1, devices=[dev])
-    train_step, _ = jit_steps(model, tx, mesh)
+    train_step, eval_step = jit_steps(model, tx, mesh)
     state = jax.device_put(state, replicated(mesh))
 
     def make_batch(bs: int):
@@ -151,6 +147,58 @@ def bench_arch(model_name: str, image_size: int, batches, steps: int,
         }
         return jax.device_put(b, batch_sharding(mesh))
 
+    return train_step, eval_step, state, make_batch
+
+
+def _roofline_entry(f, byt, bs) -> dict:
+    return {
+        "ai_flop_per_byte": round(f / byt, 1),
+        "xla_bytes_gb": round(byt / 1e9, 2),
+        "hbm_floor_img_s": round(bs / (byt / TPU_V5E_HBM_BW), 1),
+    }
+
+
+def _median3(time_once) -> "tuple[float, float]":
+    """Median of three timing passes + percent spread (the tunneled dev
+    platform's run-to-run noise is ~4-10%; round-2 verdict flagged best-of-2
+    as fragile)."""
+    dts = [time_once() for _ in range(3)]
+    med = sorted(dts)[1]
+    return med, round(100.0 * (max(dts) - min(dts)) / med, 1)
+
+
+def _base_record(model_name, image_size, sweep, spreads, roofline,
+                 flops_per_img) -> dict:
+    """Best sweep point + the record fields both bench modes share."""
+    measured = {b: v for b, v in sweep.items() if v != "oom"}
+    assert measured, f"every sweep batch OOM'd for {model_name}: {sweep}"
+    best_bs = max(measured, key=measured.get)
+    img_s = measured[best_bs]
+    return {
+        "model": model_name,
+        "image_size": image_size,
+        "value": img_s,
+        "unit": "images/sec",
+        "best_batch": best_bs,
+        "spread_pct": spreads.get(best_bs),
+        "mfu": (round(img_s * flops_per_img / TPU_V5E_BF16_PEAK, 4)
+                if flops_per_img else None),
+        "sweep": sweep,
+        "sweep_spread_pct": spreads,
+        "roofline": roofline,
+    }
+
+
+def bench_arch(model_name: str, image_size: int, batches, steps: int,
+               warmup: int, prefix_stats=None, remat: bool = False,
+               chunk: int = 0, slim_bwd: bool = False, slim_block: bool = False,
+               fixed_steps: bool = False) -> dict:
+    """Bench the train step (fwd+bwd) over `batches`; returns the record."""
+    # chunk_size implies the carried-stats path inside DenseBlock
+    train_step, _, state, make_batch = _setup_arch(
+        model_name, image_size, prefix_stats=prefix_stats, remat=remat,
+        chunk_size=chunk or None, slim_bwd=slim_bwd, slim_block=slim_block)
+
     sweep, spreads, roofline, flops_per_img = {}, {}, {}, None
     for bs in batches:
         try:
@@ -159,14 +207,10 @@ def bench_arch(model_name: str, image_size: int, batches, steps: int,
             if flops_per_img is None and f:
                 flops_per_img = f / bs
             if f and byt:
-                roofline[bs] = {
-                    "ai_flop_per_byte": round(f / byt, 1),
-                    "xla_bytes_gb": round(byt / 1e9, 2),
-                    "hbm_floor_img_s": round(bs / (byt / TPU_V5E_HBM_BW), 1),
-                }
+                roofline[bs] = _roofline_entry(f, byt, bs)
             state, loss = train_step(state, batch)  # compile
         except Exception as e:  # HBM OOM at the largest batches is data
-            if "RESOURCE_EXHAUSTED" in str(e) or "out of memory" in str(e).lower():
+            if _is_oom(e):
                 sweep[bs] = "oom"
                 continue
             raise
@@ -174,52 +218,35 @@ def bench_arch(model_name: str, image_size: int, batches, steps: int,
         for _ in range(warmup - 1):
             state, loss = train_step(state, batch)
         float(loss)  # sync
-        # bound sweep wall-clock: fewer timed steps at large batches.
-        # MEDIAN of three timing passes + recorded spread: the tunneled dev
-        # platform's run-to-run noise is ~4-10% (953 r01 vs 916 r02 on
-        # identical code), and the round-2 verdict flagged a best-of-2
-        # headline with a 2% gate margin as fragile
+        # bound sweep wall-clock: fewer timed steps at large batches
         n = steps if fixed_steps else max(8, min(2 * steps, 1920 // bs))
-        dts = []
-        for _ in range(3):
-            state, final_loss, dt = _measure(train_step, state, batch, n)
-            dts.append(dt)
-        med = sorted(dts)[1]
+        final = {}
+
+        def timed():
+            nonlocal state
+            state, final["loss"], dt = _measure(train_step, state, batch, n)
+            return dt
+
+        med, spread = _median3(timed)
         sweep[bs] = round(bs * n / med, 2)
-        spreads[bs] = round(100.0 * (max(dts) - min(dts)) / med, 1)
+        spreads[bs] = spread
         # guards: a benchmark of a broken step is meaningless. The learning
         # check compares first vs final loss on the SAME batch (the repeated
         # steps above must overfit it)
-        assert np.isfinite(final_loss), f"non-finite loss at batch {bs}"
-        assert final_loss < first_loss, (
-            f"train step not learning at batch {bs}: {first_loss} -> {final_loss}"
+        assert np.isfinite(final["loss"]), f"non-finite loss at batch {bs}"
+        assert final["loss"] < first_loss, (
+            f"train step not learning at batch {bs}: "
+            f"{first_loss} -> {final['loss']}"
         )
 
-    measured = {b: v for b, v in sweep.items() if v != "oom"}
-    best_bs = max(measured, key=measured.get)
-    img_s = measured[best_bs]
-    mfu = (
-        round(img_s * flops_per_img / TPU_V5E_BF16_PEAK, 4)
-        if flops_per_img else None
-    )
-    rec = {
-        "model": model_name,
-        "image_size": image_size,
-        "value": img_s,
-        "unit": "images/sec",
-        "best_batch": best_bs,
-        "spread_pct": spreads.get(best_bs),
-        "mfu": mfu,
-        "sweep": sweep,
-        "sweep_spread_pct": spreads,
-        "roofline": roofline,
-    }
+    rec = _base_record(model_name, image_size, sweep, spreads, roofline,
+                       flops_per_img)
     if flops_per_img:
         rec["train_gflops_per_image"] = round(flops_per_img / 1e9, 2)
         rec["ref_bound_img_s"] = round(
             V100_FP32_PEAK * REF_GENEROUS_MFU / flops_per_img, 1
         )
-        rec["vs_baseline"] = round(img_s / rec["ref_bound_img_s"], 3)
+        rec["vs_baseline"] = round(rec["value"] / rec["ref_bound_img_s"], 3)
     return rec
 
 
@@ -239,32 +266,7 @@ def bench_infer_arch(model_name: str, image_size: int, batches,
     (train/steps.py::make_eval_step: bf16 forward, f32 outputs + per-element
     losses), running BN statistics, no gradients. batch=1's ms/request is
     reported as serving latency (cli/serve.py's default micro_batch)."""
-    from chexpert_tpu.models import build_model
-    from chexpert_tpu.parallel.mesh import batch_sharding, create_mesh, replicated
-    from chexpert_tpu.train import TrainState, init_model, jit_steps, make_optimizer
-
-    dev = jax.devices()[0]
-    model, spec = build_model(model_name, image_size=image_size)
-    tx, _ = make_optimizer(spec, 1e-4)
-    hw = image_size
-    params, stats = init_model(model, jax.random.PRNGKey(0), (1, hw, hw, 3))
-    state = TrainState.create(params, stats, tx)
-    mesh = create_mesh(1, 1, devices=[dev])
-    _, eval_step = jit_steps(model, tx, mesh)
-    state = jax.device_put(state, replicated(mesh))
-
-    def make_batch(bs: int):
-        b = {
-            "image": jnp.asarray(
-                np.random.RandomState(0).randn(bs, hw, hw, 3), jnp.float32
-            ),
-            "label": jnp.asarray(
-                (np.random.RandomState(1).rand(bs, 5) > 0.5), jnp.float32
-            ),
-            "index": jnp.zeros((bs,), jnp.int32),
-            "mask": jnp.ones((bs,), jnp.float32),
-        }
-        return jax.device_put(b, batch_sharding(mesh))
+    _, eval_step, state, make_batch = _setup_arch(model_name, image_size)
 
     sweep, spreads, roofline, flops_per_img = {}, {}, {}, None
     for bs in batches:
@@ -274,14 +276,10 @@ def bench_infer_arch(model_name: str, image_size: int, batches,
             if flops_per_img is None and f:
                 flops_per_img = f / bs
             if f and byt:
-                roofline[bs] = {
-                    "ai_flop_per_byte": round(f / byt, 1),
-                    "xla_bytes_gb": round(byt / 1e9, 2),
-                    "hbm_floor_img_s": round(bs / (byt / TPU_V5E_HBM_BW), 1),
-                }
+                roofline[bs] = _roofline_entry(f, byt, bs)
             out, per_elem = eval_step(state, batch)  # compile
         except Exception as e:
-            if "RESOURCE_EXHAUSTED" in str(e) or "out of memory" in str(e).lower():
+            if _is_oom(e):
                 sweep[bs] = "oom"
                 continue
             raise
@@ -290,33 +288,21 @@ def bench_infer_arch(model_name: str, image_size: int, batches,
             out, per_elem = eval_step(state, batch)
         float(jnp.sum(per_elem))  # sync
         n = max(8, min(4 * steps, 3840 // bs))
-        dts = []
-        for _ in range(3):
+
+        def timed():
             t0 = time.perf_counter()
             for _ in range(n):
                 out, per_elem = eval_step(state, batch)
             float(jnp.sum(per_elem))  # hard sync (axon: value fetch, not b_u_r)
-            dts.append(time.perf_counter() - t0)
-        med = sorted(dts)[1]
-        sweep[bs] = round(bs * n / med, 2)
-        spreads[bs] = round(100.0 * (max(dts) - min(dts)) / med, 1)
+            return time.perf_counter() - t0
 
-    measured = {b: v for b, v in sweep.items() if v != "oom"}
-    best_bs = max(measured, key=measured.get)
-    img_s = measured[best_bs]
-    rec = {
-        "model": model_name,
-        "image_size": image_size,
-        "value": img_s,
-        "unit": "images/sec",
-        "best_batch": best_bs,
-        "spread_pct": spreads.get(best_bs),
-        "mfu": (round(img_s * flops_per_img / TPU_V5E_BF16_PEAK, 4)
-                if flops_per_img else None),
-        "sweep": sweep,
-        "sweep_spread_pct": spreads,
-        "roofline": roofline,
-    }
+        med, spread = _median3(timed)
+        sweep[bs] = round(bs * n / med, 2)
+        spreads[bs] = spread
+
+    rec = _base_record(model_name, image_size, sweep, spreads, roofline,
+                       flops_per_img)
+    measured = {b: v for b, v in rec["sweep"].items() if v != "oom"}
     if 1 in measured:
         rec["latency_ms_b1"] = round(1000.0 / measured[1], 2)
     if flops_per_img:
@@ -340,7 +326,9 @@ def main() -> int:
                         "(ignored with --model all)")
     p.add_argument("--steps", type=int, default=20)
     p.add_argument("--warmup", type=int, default=5)
-    p.add_argument("--image-size", type=int, default=320)
+    p.add_argument("--image-size", type=int, default=None,
+                   help="default: the arch's perf-table size "
+                        "(320 for archs outside the table)")
     p.add_argument("--model", default="densenet121",
                    help="architecture, or 'all' for the README perf-table set")
     p.add_argument("--infer", action="store_true",
@@ -387,6 +375,11 @@ def main() -> int:
     prefix_stats = True if args.prefix_stats else (
         False if args.no_prefix_stats else None)  # None = arch default
 
+    # effective single-model image size: explicit flag > perf-table size >
+    # 320 (--model all ignores it; each table arch benches at its own size)
+    table_sizes = {m: s for m, s, _ in ALL_ARCHS}
+    image_size = args.image_size or table_sizes.get(args.model, 320)
+
     if args.merge_into:
         # validate BEFORE benching — a refused merge after an hour on the
         # chip wastes the run (round 4: a b4 row refresh silently merged a
@@ -396,12 +389,12 @@ def main() -> int:
             print("refusing --merge-into: A/B overrides active (the artifact "
                   "records registry-default configurations)", file=sys.stderr)
             return 1
-        table_size = {m: s for m, s, _ in ALL_ARCHS}.get(args.model)
-        if table_size is not None and table_size != args.image_size:
+        table_size = table_sizes.get(args.model)
+        if table_size is not None and table_size != image_size:
             print(f"refusing --merge-into: {args.model}'s table row is at "
                   f"{table_size}x{table_size}, this run is "
-                  f"{args.image_size}x{args.image_size} (pass --image-size "
-                  f"{table_size})", file=sys.stderr)
+                  f"{image_size}x{image_size} (drop --image-size to use the "
+                  "table size)", file=sys.stderr)
             return 1
 
     if args.infer:
@@ -409,7 +402,9 @@ def main() -> int:
         names = [m for m, _, _ in ALL_ARCHS] if args.model == "all" else [args.model]
         recs = {}
         for name in names:
-            hw, tb = table.get(name, (args.image_size, [64]))
+            hw, tb = table.get(name, (320, [64]))
+            if args.model != "all":
+                hw = image_size  # explicit --image-size wins for one arch
             batches = ([int(b) for b in args.batch.split(",")]
                        if args.batch != "0" and args.model != "all"
                        else infer_batches(tb))
@@ -474,7 +469,7 @@ def main() -> int:
 
     explicit_batches = [int(b) for b in str(args.batch).split(",") if int(b)]
     batches = explicit_batches or [16, 32, 64, 128, 256, 512]
-    rec = bench_arch(args.model, args.image_size, batches, args.steps,
+    rec = bench_arch(args.model, image_size, batches, args.steps,
                      args.warmup, prefix_stats=prefix_stats, remat=args.remat,
                      chunk=args.chunk, slim_bwd=args.slim_bwd,
                      slim_block=args.slim_block,
@@ -497,7 +492,7 @@ def main() -> int:
     result = {
         "metric": f"{args.model} train fwd+bwd images/sec/chip "
                   f"(best of batch sweep {batches}, "
-                  f"{args.image_size}x{args.image_size}, bf16)",
+                  f"{image_size}x{image_size}, bf16)",
         "value": rec["value"],
         "unit": "images/sec",
         "vs_baseline": rec.get("vs_baseline"),

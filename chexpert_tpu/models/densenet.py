@@ -343,6 +343,13 @@ class DenseBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool):
+        # ChunkedDenseLayer has no 'dense_norm1_relu' checkpoint name, so a
+        # slim-residuals policy on the chunked path would be a silent no-op
+        # (the A/B would bench plain chunking while reporting slim);
+        # build_model refuses the combination too (models/registry.py)
+        assert not (self.chunk_size and self.slim_bwd), (
+            "chunk_size and slim_bwd cannot combine"
+        )
         if self.prefix_stats or self.chunk_size:  # chunking implies carried stats
             def seg_stats(s):
                 s32 = s.astype(jnp.float32)

@@ -57,11 +57,17 @@ def build_model(
     # bytes-accessed per step) and ON for aadensenet121 (805 vs 753 img/s).
     # None = use the arch's measured default; pass a bool to override (A/B).
     # remat: rematerialized dense blocks (perf experiment; see DenseNet.remat).
-    if (remat or slim_block) and "densenet" not in name:
+    if (remat or slim_block or chunk_size or slim_bwd) and "densenet" not in name:
         raise ValueError(
-            f"remat/slim_block are only consumed by the DenseNet family; "
-            f"{name!r} would silently run the standard model while "
-            "reporting the variant"
+            f"remat/slim_block/chunk_size/slim_bwd are only consumed by the "
+            f"DenseNet family; {name!r} would silently run the standard "
+            "model while reporting the variant"
+        )
+    if chunk_size and (slim_bwd or slim_block):
+        raise ValueError(
+            "chunk_size cannot combine with slim_bwd/slim_block: "
+            "ChunkedDenseLayer has no 'dense_norm1_relu' checkpoint name, so "
+            "the slim policies would be silent no-ops on the chunked path"
         )
     if name == "densenet121":
         return (

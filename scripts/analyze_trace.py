@@ -21,7 +21,6 @@ import json
 import os
 import sys
 
-TPU_V5E_HBM_BW = 819e9  # B/s
 
 
 def load_hlo_events(trace_dir: str):

@@ -27,18 +27,30 @@ def render(artifact_path: str) -> str:
     has_infer = any("infer" in a for a in d["archs"].values())
     rows = []
     for name, a in d["archs"].items():
-        sweep = ", ".join(f"{b}→{v:.0f}" for b, v in a["sweep"].items())
-        cpu = a.get("measured_torch_cpu_img_s")
-        vs_cpu = f"{a['value'] / cpu:,.0f}×" if cpu else "—"
-        row = (
-            f"| {name} @ {a['image_size']}² | **{a['value']:.0f}** "
-            f"(batch {a['best_batch']}, ±{a['spread_pct']}%) | {sweep} "
-            f"| {a['mfu'] * 100:.1f}% | {a['vs_baseline']:.1f}× | {vs_cpu} |"
-        )
+        if "sweep" in a:  # full train record (stub rows hold only `infer`)
+            # sweep points that OOM'd are recorded as the string "oom"
+            sweep = ", ".join(
+                f"{b}→{v:.0f}" if not isinstance(v, str) else f"{b}→{v}"
+                for b, v in a["sweep"].items()
+            )
+            cpu = a.get("measured_torch_cpu_img_s")
+            vs_cpu = f"{a['value'] / cpu:,.0f}×" if cpu else "—"
+            mfu = f"{a['mfu'] * 100:.1f}%" if a.get("mfu") is not None else "—"
+            vs_b = (f"{a['vs_baseline']:.1f}×"
+                    if a.get("vs_baseline") is not None else "—")
+            row = (
+                f"| {name} @ {a['image_size']}² | **{a['value']:.0f}** "
+                f"(batch {a['best_batch']}, ±{a['spread_pct']}%) | {sweep} "
+                f"| {mfu} | {vs_b} | {vs_cpu} |"
+            )
+        else:
+            hw = a.get("infer", {}).get("image_size", a.get("image_size", "?"))
+            row = f"| {name} @ {hw}² | — | — | — | — | — |"
         if has_infer:
             inf = a.get("infer")
             row += (f" **{inf['value']:,.0f}** (b1: {inf['latency_ms_b1']} ms) |"
-                    if inf else " — |")
+                    if inf and inf.get("latency_ms_b1") is not None else
+                    (f" **{inf['value']:,.0f}** |" if inf else " — |"))
         rows.append(row)
     infer_head = " infer img/s (b=1 latency) |" if has_infer else ""
     infer_sep = "---|" if has_infer else ""

@@ -70,3 +70,33 @@ def test_merge_arch_record_infer_subkey(tmp_path):
                             {"value": 700.0}, subkey="infer")
     got = json.loads(path.read_text())
     assert got["archs"]["efficientnet-b7"]["infer"]["value"] == 700.0
+
+
+def test_render_tolerates_oom_and_stub_rows(tmp_path):
+    """gen_perf_table.render must not crash on 'oom' sweep points, mfu=None,
+    missing vs_baseline, or infer-only stub rows (all legitimate artifact
+    contents written by bench.py)."""
+    import importlib.util
+    spec = importlib.util.spec_from_file_location(
+        "gen_perf_table", os.path.join(REPO, "scripts", "gen_perf_table.py"))
+    gpt = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(gpt)
+    artifact = {
+        "archs": {
+            "densenet121": {
+                "model": "densenet121", "image_size": 320, "value": 943.0,
+                "best_batch": 128, "spread_pct": 0.1, "mfu": None,
+                "sweep": {"128": 943.0, "256": "oom"},
+                "sweep_spread_pct": {"128": 0.1},
+                "infer": {"value": 3146.0, "latency_ms_b1": 2.1},
+            },
+            "newarch": {"model": "newarch",
+                        "infer": {"value": 700.0, "image_size": 320}},
+        },
+    }
+    p = tmp_path / "a.json"
+    p.write_text(json.dumps(artifact))
+    table = gpt.render(str(p))
+    assert "256→oom" in table and "— | — |" in table
+    assert "**3,146** (b1: 2.1 ms)" in table
+    assert "newarch @ 320²" in table and "**700**" in table

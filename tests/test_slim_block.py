@@ -65,3 +65,18 @@ def test_slim_block_registry_and_guards():
                  remat=True, slim_block=True)
     with pytest.raises(ValueError):
         init_model(m, jax.random.PRNGKey(0), (1, 32, 32, 3))
+
+
+def test_variant_flags_guarded_for_all_non_densenet_archs():
+    """chunk_size and slim_bwd must also refuse non-DenseNet archs (round-4
+    review: they were silently ignored, so an A/B could bench the standard
+    model while reporting the variant), and chunk_size+slim policies cannot
+    combine (ChunkedDenseLayer has no 'dense_norm1_relu' checkpoint name)."""
+    with pytest.raises(ValueError):
+        build_model("resnet152", chunk_size=128)
+    with pytest.raises(ValueError):
+        build_model("efficientnet-b0", slim_bwd=True)
+    with pytest.raises(ValueError):
+        build_model("densenet121", chunk_size=128, slim_bwd=True)
+    with pytest.raises(ValueError):
+        build_model("densenet121", chunk_size=128, slim_block=True)
