@@ -47,6 +47,13 @@ def _build(arch: str):
         # the reference's torchvision-clone ResNet with attention disabled is
         # structurally torchvision resnet152 (attn_aug_conv.py:214-304)
         return ResNet(Bottleneck, [3, 8, 36, 3], num_classes=5)
+    if arch.startswith("efficientnet-b"):
+        # the reference's compound-scaled EfficientNet factory
+        # (/root/reference/models/efficientnet.py:188-228, wired at
+        # chexpert.py:496-500)
+        from models.efficientnet import construct_model
+
+        return construct_model(arch, n_classes=5)
     raise RuntimeError(arch)
 
 
@@ -64,7 +71,12 @@ def main() -> int:
     torch.manual_seed(0)
     model = _build(args.arch)
     model.train()
-    opt = torch.optim.Adam(model.parameters(), lr=1e-4)
+    if args.arch.startswith("efficientnet"):
+        # the reference's efficientnet optimizer (chexpert.py:496-500)
+        opt = torch.optim.RMSprop(model.parameters(), lr=1e-4,
+                                  momentum=0.9, eps=1e-3)
+    else:
+        opt = torch.optim.Adam(model.parameters(), lr=1e-4)
     loss_fn = torch.nn.BCEWithLogitsLoss(reduction="none")
 
     x = torch.randn(args.batch, 3, args.image_size, args.image_size)

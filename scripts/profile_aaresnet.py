@@ -83,22 +83,22 @@ def bench_geometry(B, nh, H, W, dkh, dvh, n_blocks, repeats=None):
     return n_blocks * tpg, n_blocks * teg
 
 
-def bench_model(B=16, attn_impl="pallas", model_name="aaresnet152", iters=10):
+def bench_model(B=16, attn_impl="pallas", model_name="aaresnet152", iters=10, size=320):
     from chexpert_tpu.models import build_model
     from chexpert_tpu.parallel.mesh import batch_sharding, create_mesh, replicated
     from chexpert_tpu.train import TrainState, init_model, jit_steps, make_optimizer
 
-    model, spec = build_model(model_name, attn_impl=attn_impl)
+    model, spec = build_model(model_name, image_size=size, attn_impl=attn_impl)
     tx, _ = make_optimizer(spec, 1e-4)
     rng = jax.random.PRNGKey(0)
-    params, stats = init_model(model, rng, (1, 320, 320, 3))
+    params, stats = init_model(model, rng, (1, size, size, 3))
     state = TrainState.create(params, stats, tx)
     mesh = create_mesh(1, 1, devices=[jax.devices()[0]])
     train_step, _ = jit_steps(model, tx, mesh)
     state = jax.device_put(state, replicated(mesh))
     batch = jax.device_put(
         {
-            "image": jnp.asarray(np.random.RandomState(0).randn(B, 320, 320, 3), jnp.float32),
+            "image": jnp.asarray(np.random.RandomState(0).randn(B, size, size, 3), jnp.float32),
             "label": jnp.asarray((np.random.RandomState(1).rand(B, 5) > 0.5), jnp.float32),
             "index": jnp.zeros((B,), jnp.int32),
             "mask": jnp.ones((B,), jnp.float32),
@@ -116,22 +116,22 @@ def bench_model(B=16, attn_impl="pallas", model_name="aaresnet152", iters=10):
     return dt
 
 
-def trace_model(B=16, attn_impl="pallas", out="/tmp/aares_trace", model_name="aaresnet152"):
+def trace_model(B=16, attn_impl="pallas", out="/tmp/aares_trace", model_name="aaresnet152", size=320):
     """Capture a profiler trace of 3 real train steps (run: ... trace)."""
     from chexpert_tpu.models import build_model
     from chexpert_tpu.parallel.mesh import batch_sharding, create_mesh, replicated
     from chexpert_tpu.train import TrainState, init_model, jit_steps, make_optimizer
 
-    model, spec = build_model(model_name, attn_impl=attn_impl)
+    model, spec = build_model(model_name, image_size=size, attn_impl=attn_impl)
     tx, _ = make_optimizer(spec, 1e-4)
-    params, stats = init_model(model, jax.random.PRNGKey(0), (1, 320, 320, 3))
+    params, stats = init_model(model, jax.random.PRNGKey(0), (1, size, size, 3))
     state = TrainState.create(params, stats, tx)
     mesh = create_mesh(1, 1, devices=[jax.devices()[0]])
     train_step, _ = jit_steps(model, tx, mesh)
     state = jax.device_put(state, replicated(mesh))
     batch = jax.device_put(
         {
-            "image": jnp.asarray(np.random.RandomState(0).randn(B, 320, 320, 3), jnp.float32),
+            "image": jnp.asarray(np.random.RandomState(0).randn(B, size, size, 3), jnp.float32),
             "label": jnp.asarray((np.random.RandomState(1).rand(B, 5) > 0.5), jnp.float32),
             "index": jnp.zeros((B,), jnp.int32),
             "mask": jnp.ones((B,), jnp.float32),
@@ -158,8 +158,10 @@ if __name__ == "__main__":
     enable_compilation_cache()
     # Env overrides so any registry arch/batch can be traced or timed:
     #   CHEXPERT_PROFILE_ARCH=densenet121 CHEXPERT_PROFILE_BATCH=128 \
+    #   CHEXPERT_PROFILE_SIZE=380 \
     #     python scripts/profile_aaresnet.py model|trace
     B = int(_os.environ.get("CHEXPERT_PROFILE_BATCH", "16"))
+    size = int(_os.environ.get("CHEXPERT_PROFILE_SIZE", "320"))
     arch = _os.environ.get("CHEXPERT_PROFILE_ARCH", "aaresnet152")
     print(f"devices: {jax.devices()}")
     if "model" not in sys.argv:
@@ -170,6 +172,6 @@ if __name__ == "__main__":
             tot_e += e
         print(f"attention total per step: pallas {tot_p*1e3:.1f} ms einsum {tot_e*1e3:.1f} ms")
     if "trace" in sys.argv:
-        trace_model(B, "pallas", out=f"/tmp/{arch}_trace", model_name=arch)
+        trace_model(B, "pallas", out=f"/tmp/{arch}_trace", model_name=arch, size=size)
     elif "ops" not in sys.argv:
-        bench_model(B, "pallas", model_name=arch)
+        bench_model(B, "pallas", model_name=arch, size=size)
