@@ -23,6 +23,7 @@ import jax.numpy as jnp
 
 from chexpert_tpu.models.common import Dtype, batch_norm, global_avg_pool
 from chexpert_tpu.models.densenet import torch_linear_init
+from chexpert_tpu.ops.pallas_depthwise import depthwise_conv2d
 
 # (width_coefficient, depth_coefficient, resolution, dropout_rate)
 # cf reference efficientnet.py:13-21
@@ -103,6 +104,35 @@ def _same_conv(features, kernel, stride, groups=1, dtype=jnp.bfloat16, name=None
     )
 
 
+class DepthwiseConv(nn.Module):
+    """Depthwise TF-'SAME' conv with a Pallas fast path.
+
+    Drop-in for ``_same_conv(C, k, s, groups=C, name="depthwise_conv")``:
+    same param tree (one HWIO ``kernel`` of shape (k, k, 1, C), same init),
+    same numerics (stride-1 SAME with odd k pads symmetrically, identical to
+    the XLA call), but stride-1 layers route through
+    ``ops.pallas_depthwise.depthwise_conv2d`` — one HBM read of x / one
+    write of y instead of XLA's sub-roofline grouped-conv lowering (the
+    round-4 b4 trace attributes ~half the step to depthwise-signature ops).
+    """
+
+    kernel_size: int
+    stride: int
+    dtype: Dtype
+
+    @nn.compact
+    def __call__(self, x):
+        k = self.kernel_size
+        C = x.shape[-1]
+        w = self.param(
+            "kernel",
+            nn.initializers.variance_scaling(2.0, "fan_out", "normal"),
+            (k, k, 1, C),
+            jnp.float32,
+        )
+        return depthwise_conv2d(x.astype(self.dtype), w, self.stride)
+
+
 def _effnet_bn(train, dtype, name):
     # BN eps 1e-3, torch momentum 0.01 (reference efficientnet.py:140,174-176)
     return batch_norm(train, dtype=dtype, eps=1e-3, torch_momentum=0.01, name=name)
@@ -160,8 +190,8 @@ class MBConvBlock(nn.Module):
                         name="expand_conv")(x)
             x = _effnet_bn(train, self.dtype, "expand_bn")(x)
             x = nn.swish(x)
-        x = _same_conv(expand_channels, self.kernel_size, self.stride,
-                       groups=expand_channels, dtype=self.dtype, name="depthwise_conv")(x)
+        x = DepthwiseConv(self.kernel_size, self.stride, self.dtype,
+                          name="depthwise_conv")(x)
         x = _effnet_bn(train, self.dtype, "depthwise_bn")(x)
         x = nn.swish(x)
         x = SELayer(se_reduce, self.dtype, name="se")(x)
