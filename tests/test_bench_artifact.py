@@ -100,3 +100,30 @@ def test_render_tolerates_oom_and_stub_rows(tmp_path):
     assert "256→oom" in table and "— | — |" in table
     assert "**3,146** (b1: 2.1 ms)" in table
     assert "newarch @ 320²" in table and "**700**" in table
+
+
+def test_merge_train_record_preserves_infer(tmp_path):
+    """A train-record refresh of an arch row must carry over the row's
+    existing 'infer' subrecord and measured torch-CPU floor instead of
+    dropping them (the artifact is the only versioned home of both)."""
+    bench = _load_bench()
+    artifact = {
+        "metric": "m", "value": 943.0, "vs_baseline": 5.3,
+        "best_batch": 128, "mfu": 0.17,
+        "archs": {
+            "densenet121": {"value": 943.0, "best_batch": 128, "mfu": 0.17},
+            "aadensenet121": {
+                "value": 751.0, "best_batch": 128, "mfu": 0.16,
+                "measured_torch_cpu_img_s": 0.68,
+                "infer": {"value": 2620.7, "best_batch": 128},
+            },
+        },
+    }
+    path = tmp_path / "bench_all.json"
+    path.write_text(json.dumps(artifact))
+    rec = {"value": 760.0, "best_batch": 128, "mfu": 0.163, "vs_baseline": 5.1}
+    merged = bench.merge_arch_record(str(path), "aadensenet121", rec)
+    row = merged["archs"]["aadensenet121"]
+    assert row["value"] == 760.0
+    assert row["infer"]["value"] == 2620.7
+    assert row["measured_torch_cpu_img_s"] == 0.68
