@@ -192,12 +192,13 @@ def _base_record(model_name, image_size, sweep, spreads, roofline,
 def bench_arch(model_name: str, image_size: int, batches, steps: int,
                warmup: int, prefix_stats=None, remat: bool = False,
                chunk: int = 0, slim_bwd: bool = False, slim_block: bool = False,
-               fixed_steps: bool = False) -> dict:
+               concat_free: bool = False, fixed_steps: bool = False) -> dict:
     """Bench the train step (fwd+bwd) over `batches`; returns the record."""
     # chunk_size implies the carried-stats path inside DenseBlock
     train_step, _, state, make_batch = _setup_arch(
         model_name, image_size, prefix_stats=prefix_stats, remat=remat,
-        chunk_size=chunk or None, slim_bwd=slim_bwd, slim_block=slim_block)
+        chunk_size=chunk or None, slim_bwd=slim_bwd, slim_block=slim_block,
+        concat_free=concat_free)
 
     sweep, spreads, roofline, flops_per_img = {}, {}, {}, None
     for bs in batches:
@@ -272,14 +273,22 @@ def infer_batches(table_batches) -> list:
 
 
 def bench_infer_arch(model_name: str, image_size: int, batches,
-                     steps: int, warmup: int) -> dict:
+                     steps: int, warmup: int, prefix_stats=None,
+                     remat: bool = False, chunk: int = 0,
+                     slim_bwd: bool = False, slim_block: bool = False,
+                     concat_free: bool = False) -> dict:
     """Forward-only (serving-path) throughput + latency for one arch.
 
     Times the SAME compiled eval step the evaluate/predict/serve paths use
     (train/steps.py::make_eval_step: bf16 forward, f32 outputs + per-element
     losses), running BN statistics, no gradients. batch=1's ms/request is
-    reported as serving latency (cli/serve.py's default micro_batch)."""
-    _, eval_step, state, make_batch = _setup_arch(model_name, image_size)
+    reported as serving latency (cli/serve.py's default micro_batch).
+    The dense-block A/B flags apply here too (round 4: --chunk/--prefix-stats
+    --infer silently benched the default model)."""
+    _, eval_step, state, make_batch = _setup_arch(
+        model_name, image_size, prefix_stats=prefix_stats, remat=remat,
+        chunk_size=chunk or None, slim_bwd=slim_bwd, slim_block=slim_block,
+        concat_free=concat_free)
 
     sweep, spreads, roofline, flops_per_img = {}, {}, {}, None
     for bs in batches:
@@ -367,6 +376,10 @@ def main() -> int:
                         "per dense block excluding the O(L^2) norm1+relu "
                         "residual by name (bounded-HLO alternative to "
                         "--slim-bwd's per-layer policy)")
+    p.add_argument("--concat-free", action="store_true",
+                   help="A/B: concat-free dense blocks — segment-wise "
+                        "matmuls against kernel slices, no per-layer concat "
+                        "(models/densenet.py::SegmentedDenseLayer)")
     p.add_argument("--slim-bwd", action="store_true",
                    help="A/B: slim autodiff residuals for carried-stats "
                         "dense layers (exclude the O(L^2) norm1+relu "
@@ -398,7 +411,7 @@ def main() -> int:
         # chip wastes the run (round 4: a b4 row refresh silently merged a
         # 320^2 run over the table's 380^2 record)
         if (prefix_stats is not None or args.remat or args.chunk
-                or args.slim_bwd or args.slim_block):
+                or args.slim_bwd or args.slim_block or args.concat_free):
             print("refusing --merge-into: A/B overrides active (the artifact "
                   "records registry-default configurations)", file=sys.stderr)
             return 1
@@ -421,8 +434,11 @@ def main() -> int:
             batches = ([int(b) for b in args.batch.split(",")]
                        if args.batch != "0" and args.model != "all"
                        else infer_batches(tb))
-            recs[name] = bench_infer_arch(name, hw, batches,
-                                          args.steps, args.warmup)
+            recs[name] = bench_infer_arch(
+                name, hw, batches, args.steps, args.warmup,
+                prefix_stats=prefix_stats, remat=args.remat, chunk=args.chunk,
+                slim_bwd=args.slim_bwd, slim_block=args.slim_block,
+                concat_free=args.concat_free)
             print(f"[bench infer] {name}@{hw}: {recs[name]['value']} img/s "
                   f"(batch {recs[name]['best_batch']}, "
                   f"b1 {recs[name].get('latency_ms_b1')} ms)", file=sys.stderr)
@@ -485,7 +501,7 @@ def main() -> int:
     rec = bench_arch(args.model, image_size, batches, args.steps,
                      args.warmup, prefix_stats=prefix_stats, remat=args.remat,
                      chunk=args.chunk, slim_bwd=args.slim_bwd,
-                     slim_block=args.slim_block,
+                     slim_block=args.slim_block, concat_free=args.concat_free,
                      fixed_steps=bool(explicit_batches))
 
     baseline = {

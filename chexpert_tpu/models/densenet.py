@@ -350,6 +350,11 @@ class DenseBlock(nn.Module):
         assert not (self.chunk_size and self.slim_bwd), (
             "chunk_size and slim_bwd cannot combine"
         )
+        # the carried-stats paths take priority below, so concat_free would
+        # silently no-op under them — refuse instead of mis-labeling an A/B
+        assert not (self.concat_free and (self.prefix_stats or self.chunk_size)), (
+            "concat_free cannot combine with prefix_stats/chunk_size"
+        )
         if self.prefix_stats or self.chunk_size:  # chunking implies carried stats
             def seg_stats(s):
                 s32 = s.astype(jnp.float32)

@@ -48,6 +48,7 @@ def build_model(
     chunk_size: Optional[int] = None,
     slim_bwd: Optional[bool] = None,
     slim_block: Optional[bool] = None,
+    concat_free: bool = False,
 ) -> Tuple[nn.Module, OptimizerSpec]:
     # prefix_stats: carried-stats dense blocks (models/densenet.py _PrefixBN)
     # — numerically identical (tests/test_prefix_stats.py), same param tree.
@@ -57,7 +58,8 @@ def build_model(
     # bytes-accessed per step) and ON for aadensenet121 (805 vs 753 img/s).
     # None = use the arch's measured default; pass a bool to override (A/B).
     # remat: rematerialized dense blocks (perf experiment; see DenseNet.remat).
-    if (remat or slim_block or chunk_size or slim_bwd) and "densenet" not in name:
+    if ((remat or slim_block or chunk_size or slim_bwd or concat_free)
+            and "densenet" not in name):
         raise ValueError(
             f"remat/slim_block/chunk_size/slim_bwd are only consumed by the "
             f"DenseNet family; {name!r} would silently run the standard "
@@ -75,7 +77,8 @@ def build_model(
                      prefix_stats=prefix_stats if prefix_stats is not None else False,
                      remat=remat,
                      chunk_size=chunk_size if chunk_size is not None else 0,
-                     slim_bwd=bool(slim_bwd), slim_block=bool(slim_block)),
+                     slim_bwd=bool(slim_bwd), slim_block=bool(slim_block),
+                     concat_free=concat_free),
             OptimizerSpec("adam"),
         )
     if name == "aadensenet121":
@@ -86,7 +89,8 @@ def build_model(
                      prefix_stats=prefix_stats if prefix_stats is not None else True,
                      remat=remat,
                      chunk_size=chunk_size if chunk_size is not None else 0,
-                     slim_bwd=bool(slim_bwd), slim_block=bool(slim_block)),
+                     slim_bwd=bool(slim_bwd), slim_block=bool(slim_block),
+                     concat_free=concat_free),
             OptimizerSpec("sgd_nesterov", "multistep", milestones=(40000, 60000)),
         )
     if name == "resnet152":
@@ -113,7 +117,8 @@ def build_model(
                      prefix_stats=prefix_stats if prefix_stats is not None else True,
                      remat=remat,
                      chunk_size=chunk_size if chunk_size is not None else 0,
-                     slim_bwd=bool(slim_bwd), slim_block=bool(slim_block)),
+                     slim_bwd=bool(slim_bwd), slim_block=bool(slim_block),
+                     concat_free=concat_free),
             OptimizerSpec("adam"),
         )
     if name == "aadensenet-tiny":
@@ -124,7 +129,8 @@ def build_model(
                      prefix_stats=prefix_stats if prefix_stats is not None else True,
                      remat=remat,
                      chunk_size=chunk_size if chunk_size is not None else 0,
-                     slim_bwd=bool(slim_bwd), slim_block=bool(slim_block)),
+                     slim_bwd=bool(slim_bwd), slim_block=bool(slim_block),
+                     concat_free=concat_free),
             OptimizerSpec("adam"),
         )
     raise RuntimeError(f"Model architecture not supported: {name}")

@@ -23,26 +23,41 @@ def main() -> None:
     batch = int(sys.argv[2]) if len(sys.argv) > 2 else 128
     default_size = {"efficientnet-b4": 380}.get(arch, 320)
     size = int(sys.argv[3]) if len(sys.argv) > 3 else default_size
-    out = sys.argv[4] if len(sys.argv) > 4 else f"/tmp/{arch.replace('-', '_')}_trace"
+    step_kind = os.environ.get("CHEXPERT_PROFILE_STEP", "train")
+    out = sys.argv[4] if len(sys.argv) > 4 else (
+        f"/tmp/{arch.replace('-', '_')}_{step_kind}_trace")
 
     import jax
 
     from bench import _setup_arch, wait_for_device
 
     wait_for_device()
-    train_step, _eval_step, state, make_batch = _setup_arch(arch, size)
+    train_step, eval_step, state, make_batch = _setup_arch(arch, size)
     b = make_batch(batch)
+
+    # CHEXPERT_PROFILE_STEP=eval traces the forward-only serving/eval step
+    # (bench.py --infer's timed callable) instead of the train step — used
+    # in round 4 to attribute densenet121's infer gap to its roofline floor
+    profile_eval = os.environ.get("CHEXPERT_PROFILE_STEP", "train") == "eval"
+
+    def run_once():
+        nonlocal state
+        if profile_eval:
+            _out, per_elem = eval_step(state, b)
+            return jax.numpy.sum(per_elem)
+        state, loss = train_step(state, b)
+        return loss
 
     # warmup/compile (sync via a value fetch — axon block_until_ready
     # can return early, see CLAUDE.md)
     for _ in range(3):
-        state, loss = train_step(state, b)
+        loss = run_once()
     float(loss)
 
     steps = 3
     jax.profiler.start_trace(out)
     for _ in range(steps):
-        state, loss = train_step(state, b)
+        loss = run_once()
     float(loss)
     jax.profiler.stop_trace()
     print(f"trace written to {out}")
