@@ -58,12 +58,13 @@ def build_model(
     # bytes-accessed per step) and ON for aadensenet121 (805 vs 753 img/s).
     # None = use the arch's measured default; pass a bool to override (A/B).
     # remat: rematerialized dense blocks (perf experiment; see DenseNet.remat).
-    if ((remat or slim_block or chunk_size or slim_bwd or concat_free)
+    if ((remat or slim_block or chunk_size or slim_bwd or concat_free
+         or prefix_stats is not None)
             and "densenet" not in name):
         raise ValueError(
-            f"remat/slim_block/chunk_size/slim_bwd are only consumed by the "
-            f"DenseNet family; {name!r} would silently run the standard "
-            "model while reporting the variant"
+            f"prefix_stats/remat/slim_block/chunk_size/slim_bwd/concat_free "
+            f"are only consumed by the DenseNet family; {name!r} would "
+            "silently run the standard model while reporting the variant"
         )
     if chunk_size and (slim_bwd or slim_block):
         raise ValueError(
@@ -71,6 +72,21 @@ def build_model(
             "ChunkedDenseLayer has no 'dense_norm1_relu' checkpoint name, so "
             "the slim policies would be silent no-ops on the chunked path"
         )
+    if concat_free and "densenet" in name:
+        # the carried-stats paths take priority inside DenseBlock, so
+        # concat_free under them would silently bench the carried-stats
+        # model; DenseBlock also asserts, but asserts vanish under -O and
+        # surface late (mid-jit-trace) — refuse here where the EFFECTIVE
+        # per-arch prefix_stats default is known
+        effective_prefix = (prefix_stats if prefix_stats is not None
+                            else name in ("aadensenet121", "densenet-tiny",
+                                          "aadensenet-tiny"))
+        if effective_prefix or chunk_size:
+            raise ValueError(
+                f"concat_free cannot combine with prefix_stats/chunk_size "
+                f"(for {name!r} prefix_stats defaults to True; pass "
+                "--no-prefix-stats to A/B concat-free blocks)"
+            )
     if name == "densenet121":
         return (
             DenseNet(32, (6, 12, 24, 16), 64, num_classes=n_classes, dtype=dtype,

@@ -38,7 +38,7 @@ def main() -> None:
     # CHEXPERT_PROFILE_STEP=eval traces the forward-only serving/eval step
     # (bench.py --infer's timed callable) instead of the train step — used
     # in round 4 to attribute densenet121's infer gap to its roofline floor
-    profile_eval = os.environ.get("CHEXPERT_PROFILE_STEP", "train") == "eval"
+    profile_eval = step_kind == "eval"
 
     def run_once():
         nonlocal state

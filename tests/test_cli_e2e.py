@@ -1,7 +1,9 @@
 """End-to-end CLI: train -> checkpoint -> ensemble eval -> visualize ->
-plot_roc -> predict, hermetically on the synthetic fixture, over a 2-device
-data-parallel mesh. Mirrors the reference's entry-point surface
-(/root/reference/chexpert.py:433-573, predict.py)."""
+plot_roc -> predict, hermetically on the synthetic fixture, over the full
+8-virtual-device data-parallel mesh (1 example/device at batch 8 — the
+degenerate sharding that surfaces per-device-empty bugs). Mirrors the
+reference's entry-point surface (/root/reference/chexpert.py:433-573,
+predict.py)."""
 
 import json
 import os
@@ -27,7 +29,7 @@ def run_main(workdir, extra):
         "--data_path", workdir, "--output_dir", os.path.join(workdir, "run"),
         "--model", "densenet-tiny", "--image_size", "32",
         "--batch_size", "8", "--compute_dtype", "float32",
-        "--data_parallel", "2", "--data_workers", "2",
+        "--data_parallel", "8", "--data_workers", "2",
     ]
     return main(base + extra)
 
@@ -109,7 +111,7 @@ def test_predict_cli(workdir):
         "--restore_path", os.path.join(out, "best_checkpoints"),
         "--model", "densenet-tiny", "--image_size", "32",
         "--batch_size", "8", "--compute_dtype", "float32",
-        "--data_parallel", "2", "--data_workers", "2",
+        "--data_parallel", "8", "--data_workers", "2",
     ]) == 0
     preds = pd.read_csv(preds_csv)
     assert preds.columns.tolist() == ["Study", "Atelectasis", "Cardiomegaly",

@@ -84,3 +84,26 @@ def test_registry_builds_all():
         assert module is not None and spec.kind in ("adam", "sgd_nesterov", "rmsprop")
     with pytest.raises(RuntimeError):
         build_model("not-a-model")
+
+
+def test_registry_refuses_densenet_only_variants():
+    # A/B flags the non-DenseNet archs silently ignore must be refused
+    # up front, not after a chip run (ADVICE r4: prefix_stats was missing
+    # from the guard, so --infer --prefix-stats on resnet152 benched the
+    # default model while reporting the variant)
+    for kw in ({"prefix_stats": True}, {"prefix_stats": False},
+               {"remat": True}, {"chunk_size": 128}, {"concat_free": True}):
+        with pytest.raises(ValueError):
+            build_model("resnet152", **kw)
+    # concat_free x the arch's effective carried-stats default must fail
+    # at build time (the in-__call__ assert is stripped under python -O)
+    with pytest.raises(ValueError):
+        build_model("aadensenet121", concat_free=True)
+    with pytest.raises(ValueError):
+        build_model("densenet121", concat_free=True, chunk_size=128)
+    # and the measured-winner A/B combination stays buildable
+    module, _ = build_model("densenet121", concat_free=True)
+    assert module is not None
+    module, _ = build_model("aadensenet121", concat_free=True,
+                            prefix_stats=False)
+    assert module is not None
