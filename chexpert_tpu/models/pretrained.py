@@ -170,6 +170,69 @@ def convert_torch_state_dict(
     return new_params, new_stats
 
 
+def export_torch_state_dict(
+    params: Any, batch_stats: Any, arch: str, path: str,
+) -> int:
+    """Inverse of convert_torch_state_dict: our (params, batch_stats) trees
+    -> a torchvision-format .pth state dict, torch.save'd at `path`.
+
+    Exact mapping inverse (conv HWIO->OIHW, linear (in,out)->(out,in), BN
+    scale->weight + running stats, resnet downsample_conv/_bn ->
+    downsample.0/.1, densenet body under 'features.'); no
+    num_batches_tracked buffers (the legacy-zoo format the importer
+    normalizes, tests/test_pretrained_real_format.py). The head IS included
+    — the importer skips it by default, matching the reference's
+    fresh-n-class replacement (chexpert.py:463-466). Returns the number of
+    exported tensors. Round-trip pinned by
+    tests/test_pretrained_real_format.py::test_export_import_round_trip."""
+    import flax.traverse_util as tu
+    import torch
+
+    flat_params = dict(tu.flatten_dict(jax.tree_util.tree_map(np.asarray, params)))
+    flat_stats = dict(tu.flatten_dict(jax.tree_util.tree_map(np.asarray, batch_stats)))
+
+    def torch_key(path_tuple, leaf: str) -> str:
+        parts = list(path_tuple)
+        if parts and parts[-1] == "downsample_conv":
+            parts = parts[:-1] + ["downsample", "0"]
+        elif parts and parts[-1] == "downsample_bn":
+            parts = parts[:-1] + ["downsample", "1"]
+        if arch.startswith("densenet") and parts[0] not in ("classifier", "fc"):
+            parts = ["features"] + parts
+        return ".".join(parts + [leaf])
+
+    sd = {}
+    for p, val in flat_params.items():
+        path_tuple, leaf = p[:-1], p[-1]
+        if leaf == "kernel":
+            if val.ndim == 4:  # HWIO -> OIHW
+                sd[torch_key(path_tuple, "weight")] = val.transpose(3, 2, 0, 1)
+            elif val.ndim == 2:  # (in, out) -> (out, in)
+                sd[torch_key(path_tuple, "weight")] = val.T
+            else:
+                raise KeyError(f"unhandled kernel ndim at {p}: {val.ndim}")
+        elif leaf == "scale":
+            sd[torch_key(path_tuple, "weight")] = val
+        elif leaf == "bias":
+            sd[torch_key(path_tuple, "bias")] = val
+        elif leaf in ("key_rel_h", "key_rel_w"):
+            sd[torch_key(path_tuple, leaf)] = val
+        else:
+            raise KeyError(f"unhandled param leaf at {p}")
+    for p, val in flat_stats.items():
+        path_tuple, leaf = p[:-1], p[-1]
+        if leaf == "mean":
+            sd[torch_key(path_tuple, "running_mean")] = val
+        elif leaf == "var":
+            sd[torch_key(path_tuple, "running_var")] = val
+        else:
+            raise KeyError(f"unhandled batch-stats leaf at {p}")
+
+    torch.save({k: torch.tensor(np.ascontiguousarray(v.astype(np.float32)))
+                for k, v in sd.items()}, path)
+    return len(sd)
+
+
 def load_pretrained(arch: str, params: Any, batch_stats: Any) -> Tuple[Any, Any]:
     """Load ImageNet weights for arch from $CHEXPERT_TPU_PRETRAINED_DIR."""
     d = os.environ.get(PRETRAINED_DIR_ENV, "")

@@ -185,6 +185,55 @@ def relative_logits_compact_bd(
     return rw, rh
 
 
+def rel_h_compact(q2d: jnp.ndarray, rel_h: jnp.ndarray) -> jnp.ndarray:
+    """Height-side compact rel logits alone: (B, nh, H*W, H).
+
+    Same math as relative_logits_compact's height side. The batched
+    diagonal-gather einsum stays the measured default
+    (relative_logits_compact_bd's height notes: both the broadcast-reduce
+    and the BD-transpose alternatives measured slower on-chip)."""
+    B, nh, H, W, dkh = q2d.shape
+    ih = jnp.arange(H)
+    rel_h_abs = rel_h[:, ih[None, :] - ih[:, None] + H - 1]  # (d, h, m)
+    rh = jnp.einsum("bnhwd,dhm->bnhwm", q2d, rel_h_abs)
+    return rh.reshape(B, nh, H * W, H)
+
+
+def packed_q_relw_bd(q: jnp.ndarray, rel_w: jnp.ndarray, H: int, W: int) -> jnp.ndarray:
+    """[q ; RW] emitted by ONE plain matmul against a block-diagonal operand.
+
+    out[..., t, :dkh] == q[..., t, :] exactly (identity block columns: the
+    MXU sums a single q*1.0 term in f32 and casts back — bit-exact in bf16)
+    and out[..., t, dkh+m] == relative_logits_compact(q..)[0][..., t, m].
+
+    Why: the Pallas kernel consumes a lane-packed [q ; RW ; RH] operand
+    (see pallas_attention.py kernel notes). Producing q and RW separately
+    costs XLA a batch-minor->row-major relayout copy of the BD einsum's 5-D
+    output PLUS a transposing reshape PLUS q's own copy into the concat —
+    profiled round 5 at ~5 ms/step of aadensenet121's 168 ms (the
+    'data formatting' ops around every attention layer). Emitting [q ; RW]
+    as one matmul gives those bytes to the dot that writes them anyway; the
+    identity block's zeros ride the idle MXU like the BD trick itself.
+
+    C[(w, d), (w', p)] = delta(w, w') * [ delta(d, p)            p < dkh
+                                          rel_w_abs[d, w, p-dkh] p >= dkh ]
+    """
+    B, nh, hw, dkh = q.shape
+    assert hw == H * W, (hw, H, W)
+    iw = jnp.arange(W)
+    rel_w_abs = rel_w[:, iw[None, :] - iw[:, None] + W - 1]  # (d, w, m)
+    eye_w = jnp.eye(W, dtype=q.dtype)
+    c_id = jnp.einsum("wv,de->wdve", eye_w, jnp.eye(dkh, dtype=q.dtype))
+    c_rel = jnp.einsum("wv,dwm->wdvm", eye_w, rel_w_abs.astype(q.dtype))
+    P = dkh + W
+    C = jnp.concatenate([c_id, c_rel], axis=-1).reshape(W * dkh, W * P)
+    out = jnp.einsum(
+        "bnhk,kc->bnhc", q.reshape(B, nh, H, W * dkh), C,
+        preferred_element_type=jnp.float32,
+    ).astype(q.dtype)
+    return out.reshape(B, nh, hw, P)
+
+
 def relative_logits(
     q2d: jnp.ndarray, rel_w: jnp.ndarray, rel_h: jnp.ndarray
 ) -> jnp.ndarray:

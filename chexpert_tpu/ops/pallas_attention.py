@@ -44,7 +44,12 @@ import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 
-from chexpert_tpu.ops.attention import relative_logits_compact, relative_logits_compact_bd
+from chexpert_tpu.ops.attention import (
+    packed_q_relw_bd,
+    rel_h_compact,
+    relative_logits_compact,
+    relative_logits_compact_bd,
+)
 
 NEG_INF = -1e30
 
@@ -423,19 +428,30 @@ def _unrows(y: jnp.ndarray, hwp: int) -> jnp.ndarray:
     return y.reshape(bn, nr // ROW_SUB, ROW_SUB, tile)[:, :, 0].reshape(bn, hwp)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
-def _flash_attention(q, k, v, rw, rh, H: int, W: int):
-    out, _ = _flash_forward(q, k, v, rw, rh, H, W)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def _flash_attention(qr, k, v, H: int, W: int, dkh: int):
+    out, _ = _flash_forward(qr, k, v, H, W, dkh)
     return out
 
 
-def _flash_forward(q, k, v, rw, rh, H: int, W: int):
-    B, nh, hw, dkh = q.shape
+def _flash_forward(qr, k, v, H: int, W: int, dkh: int):
+    """qr: PRE-PACKED [q ; RW ; RH] of (B, nh, hw, dkh + W + H).
+
+    The pack lives OUTSIDE the custom_vjp (aa_attention_pallas) so XLA
+    autodiff owns both directions of it: the backward returns the packed
+    [dq ; dRW ; dRH] cotangent the kernel accumulates natively, and XLA
+    differentiates the pack (a concat, or the packed_q_relw_bd matmul) into
+    slices/matmul-transposes it can lay out freely. Round-5 motivation: with
+    the pack/unpack inside the vjp, the fixed slice boundaries forced
+    batch-minor<->row-major relayout copies around every call (~13 ms/step
+    of 'data formatting' on aadensenet121 — see README)."""
+    B, nh, hw, L = qr.shape
+    wh = W + H
+    assert L == dkh + wh, (L, dkh, W, H)
     dvh = v.shape[-1]
     dv1 = dvh == 1
-    wh = W + H
     bn = B * nh
-    it = q.dtype.itemsize
+    it = qr.dtype.itemsize
     tq, tk, hwp, G = _geometry(hw, bn, dkh, dvh, wh, it)
     nq, nk = hwp // tq, hwp // tk
     # VMEM budget check (16 MB scoped/core): _pick_group already shrinks G
@@ -449,30 +465,29 @@ def _flash_forward(q, k, v, rw, rh, H: int, W: int):
         "from HBM for longer sequences"
     )
 
-    dt = q.dtype
-    # pack [q ; RW ; RH] and [k ; onehots] on the lane dim BEFORE the kernel:
-    # one concatenate fusion each, and every stream between XLA and the
-    # kernel moves dkh+wh (<=128) real lanes per token instead of two
-    # separately-128-padded arrays (dkh=20 alone tiles to 128 = 6.4x bytes)
-    qr = jnp.concatenate([q, rw.astype(dt), rh.astype(dt)], axis=-1)
+    dt = qr.dtype
+    # qr arrives lane-packed [q ; RW ; RH] (see docstring): every stream
+    # between XLA and the kernel moves dkh+wh (<=128) real lanes per token
+    # instead of separately-128-padded arrays (dkh=20 alone tiles to 128 =
+    # 6.4x bytes)
     oh = _pad_axis(_onehot_pos(hw, H, W, dt), 0, hwp)
 
     def flat(x, d):
         return _pad_axis(x.reshape(bn, hw, d), 1, hwp)
 
-    qrf, kf = flat(qr, dkh + wh), flat(k, dkh)
+    qrf, kf = flat(qr, dkh + wh), flat(k.astype(dt), dkh)
     if dv1:
         # row-block layout (bn, nk, tk): same linearization as (bn, hw, 1),
         # but the tiled HBM footprint drops ~128x (no 1->128 lane padding)
         vf = _rows(v.reshape(bn, hw), hwp, tk)
         v_spec = pl.BlockSpec((G, nk * ROW_SUB, tk), lambda b, i: (b, 0, 0))
         o_spec = pl.BlockSpec((G, nq * ROW_SUB, tq), lambda b, i: (b, 0, 0))
-        o_shape = jax.ShapeDtypeStruct((bn, nq * ROW_SUB, tq), q.dtype)
+        o_shape = jax.ShapeDtypeStruct((bn, nq * ROW_SUB, tq), dt)
     else:
         vf = flat(v, dvh)
         v_spec = pl.BlockSpec((G, hwp, dvh), lambda b, i: (b, 0, 0))
         o_spec = pl.BlockSpec((G, tq, dvh), lambda b, i: (b, i, 0))
-        o_shape = jax.ShapeDtypeStruct((bn, hwp, dvh), q.dtype)
+        o_shape = jax.ShapeDtypeStruct((bn, hwp, dvh), dt)
 
     grid = (bn // G, nq)
     out, lse = pl.pallas_call(
@@ -501,18 +516,18 @@ def _flash_forward(q, k, v, rw, rh, H: int, W: int):
     return out4, (qrf, kf, oh, vf, lse, out)
 
 
-def _flash_fwd_rule(q, k, v, rw, rh, H: int, W: int):
-    out4, (qrf, kf, oh, vf, lse, outp) = _flash_forward(q, k, v, rw, rh, H, W)
+def _flash_fwd_rule(qr, k, v, H: int, W: int, dkh: int):
+    out4, (qrf, kf, oh, vf, lse, outp) = _flash_forward(qr, k, v, H, W, dkh)
     # zero-size dtype/shape witnesses (residuals must be arrays)
-    wit = tuple(jnp.zeros((0,) + x.shape, x.dtype) for x in (q, k, v, rw, rh))
+    wit = tuple(jnp.zeros((0,) + x.shape, x.dtype) for x in (qr, k, v))
     return out4, (qrf, kf, oh, vf, lse, outp, wit)
 
 
-def _flash_bwd_rule(H: int, W: int, res, dout):
+def _flash_bwd_rule(H: int, W: int, dkh: int, res, dout):
     qrf, kf, oh, vf, lse, outp, wit = res
-    qw, kw, vw, rww, rhw = wit
-    qdt, kdt, vdt, rwdt, rhdt = (x.dtype for x in wit)
-    B, nh, hw, dkh = qw.shape[1:]
+    qrw, kw, vw = wit
+    qrdt, kdt, vdt = (x.dtype for x in wit)
+    B, nh, hw = qrw.shape[1:4]
     dvh = vw.shape[-1]
     dv1 = dvh == 1
     wh = W + H
@@ -577,13 +592,10 @@ def _flash_bwd_rule(H: int, W: int, res, dout):
 
     dv4 = (_unrows(dv, hwp)[:, :hw].reshape(B, nh, hw, 1).astype(vdt) if dv1
            else unflat(dv, dvh, vdt))
-    return (
-        unflat(dqr[..., :dkh], dkh, qdt),
-        unflat(dk, dkh, kdt),
-        dv4,
-        unflat(dqr[..., dkh:dkh + W], W, rwdt),
-        unflat(dqr[..., dkh + W:], H, rhdt),
-    )
+    # the packed [dq ; dRW ; dRH] cotangent is returned WHOLE: XLA autodiff
+    # of the outside pack (concat slice / packed_q_relw_bd matmul transpose)
+    # unpacks it in whatever layout it prefers
+    return (unflat(dqr, dkh + wh, qrdt), unflat(dk, dkh, kdt), dv4)
 
 
 _flash_attention.defvjp(_flash_fwd_rule, _flash_bwd_rule)
@@ -1258,15 +1270,28 @@ def aa_attention_pallas(
     if rel_w is not None:
         # compact rel logits in the kernel dtype: the fused s-dot consumes
         # them as bf16 lanes with f32 MXU accumulation anyway, and f32 here
-        # costs an extra convert + double-width layout copies per block
-        q2d = q.reshape(B, nh, H, W, dkh)
-        rel_fn = (relative_logits_compact
-                  if os.environ.get("CHEXPERT_REL_IMPL") == "einsum"
-                  else relative_logits_compact_bd)
-        rw, rh = rel_fn(q2d, rel_w.astype(q.dtype), rel_h.astype(q.dtype))
+        # costs an extra convert + double-width layout copies per block.
+        # Default 'fusedpack': [q ; RW] from ONE block-diagonal matmul (the
+        # separate-RW forms pay batch-minor relayout copies of the BD
+        # einsum's 5-D output around every call — ~5 ms/step on
+        # aadensenet121, traced round 5); 'bd'/'einsum' keep the previous
+        # forms as measured A/B fallbacks (CHEXPERT_REL_IMPL).
+        impl = os.environ.get("CHEXPERT_REL_IMPL", "fusedpack")
+        if impl == "fusedpack":
+            qrw = packed_q_relw_bd(q, rel_w.astype(q.dtype), H, W)
+            rh = rel_h_compact(
+                q.reshape(B, nh, H, W, dkh), rel_h.astype(q.dtype))
+            qr = jnp.concatenate([qrw, rh.astype(q.dtype)], axis=-1)
+        else:
+            q2d = q.reshape(B, nh, H, W, dkh)
+            rel_fn = (relative_logits_compact if impl == "einsum"
+                      else relative_logits_compact_bd)
+            rw, rh = rel_fn(q2d, rel_w.astype(q.dtype), rel_h.astype(q.dtype))
+            qr = jnp.concatenate(
+                [q, rw.astype(q.dtype), rh.astype(q.dtype)], axis=-1)
     else:
-        rw = jnp.zeros((B, nh, hw, W), q.dtype)
-        rh = jnp.zeros((B, nh, hw, H), q.dtype)
+        qr = jnp.concatenate(
+            [q, jnp.zeros((B, nh, hw, W + H), q.dtype)], axis=-1)
 
     # pallas_call is opaque to GSPMD (operands would be all-gathered under a
     # sharded jit); on a multi-chip mesh, shard-map the kernel over the data
@@ -1280,11 +1305,11 @@ def aa_attention_pallas(
 
         batched = P("data")
         fn = shard_map(
-            lambda q_, k_, v_, rw_, rh_: _flash_attention(q_, k_, v_, rw_, rh_, H, W),
+            lambda qr_, k_, v_: _flash_attention(qr_, k_, v_, H, W, dkh),
             mesh=mesh,
-            in_specs=(batched, batched, batched, batched, batched),
+            in_specs=(batched, batched, batched),
             out_specs=batched,
             check_rep=False,
         )
-        return fn(q, k, v, rw, rh)
-    return _flash_attention(q, k, v, rw, rh, H, W)
+        return fn(qr, k, v)
+    return _flash_attention(qr, k, v, H, W, dkh)

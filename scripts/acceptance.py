@@ -63,7 +63,31 @@ ARCH_THROUGHPUT_FLOORS = {
                                 # compute-bound at ~150 img/s, so e2e sits
                                 # well below the other archs by design
     "efficientnet-b4": 480.0,   # recorded 601.8 img/s e2e (ACCEPTANCE r4)
+    "efficientnet-b7": 160.0,   # PROVISIONAL (no recorded e2e run yet):
+                                # 0.8x of BENCH b7's 263 img/s compute row
+                                # scaled by aaresnet's e2e/compute ratio
+                                # (122/151) — calibrate from the first
+                                # recorded run like the other floors
 }
+
+# Compute-only (synthetic device-resident batch) floors back the e2e check:
+# when a slow tunnel relaxes the e2e floor to 0.8x the probed link rate, a
+# pure-compute regression could hide behind it (round-4 verdict #5). The
+# floor is 0.8x the committed BENCH_all artifact row, probed at that row's
+# recorded batch/image size — link-independent by construction.
+COMPUTE_FLOOR_FRACTION = 0.8
+
+
+def _artifact_compute_row(arch: str):
+    """(img_s, batch, image_size) from the newest BENCH_all_r*.json row."""
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    paths = sorted(glob.glob(os.path.join(repo, "BENCH_all_r*.json")))
+    if not paths:
+        return None
+    rec = json.load(open(paths[-1])).get("archs", {}).get(arch)
+    if not rec:
+        return None
+    return float(rec["value"]), int(rec["best_batch"]), int(rec.get("image_size", 320))
 
 # Per-arch mean-AUC bands on the calibrated fixture (label_noise=0.08 caps a
 # perfect model at 0.92 observed; weak positives push converged models a bit
@@ -89,7 +113,24 @@ ARCH_AUC_BANDS = {
                                       # 17.3M params vs the gate's ~320
                                       # steps; REPRODUCE.md's real-data
                                       # recipe runs 60k+ steps)
+    "efficientnet-b7": (0.70, 0.97),  # PROVISIONAL (no recorded run yet):
+                                      # floor = b4's minus 0.05 (deeper,
+                                      # same BN timescale); calibrate to
+                                      # ~0.05 under the first recorded
+                                      # single-model value
 }
+
+# Arch-aware gate defaults, applied when the flag is not given explicitly:
+# the r4 chip queue had to remember per-arch overrides by hand (SGD archs'
+# gate lr, efficientnet epochs) — an operator-error surface the script can
+# own (r4 verdict: gates are records; a mis-flagged record mis-calibrates
+# every later band).
+ARCH_GATE_LR = {"aadensenet121": "3e-2"}       # SGD+Nesterov needs ~3e-2 to
+                                               # converge in ~100 gate steps
+ARCH_GATE_EPOCHS = {"efficientnet-b0": 10, "efficientnet-b4": 10,
+                    "efficientnet-b7": 10}     # BN momentum 0.01 timescale
+ARCH_GATE_BATCH = {"efficientnet-b7": 16}      # b7 @320^2 OOMs at batch 64
+                                               # (BENCH sweeps 8/16 only)
 
 
 def arch_throughput_floor(arch: str, explicit: "float | None",
@@ -138,6 +179,27 @@ def _probe_h2d_img_s(image_size: int, batch: int = 128, reps: int = 4) -> float:
     return best
 
 
+def _probe_compute_img_s(arch: str, batch: int, image_size: int,
+                         steps: int = 16) -> float:
+    """Synthetic device-resident-batch train rate (bench.py's number):
+    link-independent, so it gates pure-compute regressions even when the
+    drifting tunnel relaxes the e2e floor. Probed at the committed artifact
+    row's batch/image size so the floor compares like with like. Median-free
+    single window — the 20% floor margin absorbs session noise."""
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    if repo not in sys.path:
+        sys.path.insert(0, repo)
+    from bench import _measure, _setup_arch
+
+    train_step, _, state, make_batch = _setup_arch(arch, image_size)
+    b = make_batch(batch)
+    for _ in range(5):  # compile + warm
+        state, loss = train_step(state, b)
+    float(loss)
+    state, _, dt = _measure(train_step, state, b, steps)
+    return batch * steps / dt
+
+
 def _max_throughput(output_dir: str) -> float:
     best = 0.0
     with open(os.path.join(output_dir, "scalars.jsonl")) as f:
@@ -167,15 +229,37 @@ def main(argv=None) -> int:
                    help="also write the result JSON to this path")
     p.add_argument("--arch", default="densenet121",
                    help="production-mode architecture to gate")
-    p.add_argument("--lr", default="1e-4",
-                   help="production-mode learning rate (SGD archs like "
+    p.add_argument("--lr", default=None,
+                   help="production-mode learning rate; default is the "
+                        "arch-aware ARCH_GATE_LR entry (SGD archs like "
                         "aadensenet121 need ~3e-2 to converge in the gate's "
                         "~100 steps; their production schedule assumes 60k+)")
-    p.add_argument("--epochs", type=int, default=3,
-                   help="production-mode epochs; efficientnet archs need ~10 "
+    p.add_argument("--epochs", type=int, default=None,
+                   help="production-mode epochs; default is the arch-aware "
+                        "ARCH_GATE_EPOCHS entry — efficientnet archs get 10 "
                         "(their reference-faithful BN momentum of 0.01 moves "
                         "running stats on a ~100-step timescale, so eval "
                         "diverges from train until a few hundred steps in)")
+    p.add_argument("--batch_size", type=int, default=None,
+                   help="production-mode batch; default 64 or the arch-aware "
+                        "ARCH_GATE_BATCH entry (efficientnet-b7 needs 16)")
+    p.add_argument("--ensemble-top-k", type=int, default=3,
+                   help="production mode ensembles only the top-K tracked "
+                        "checkpoints (by tracker AvgAUC). The reference "
+                        "ensembles its top-10 of a 60k-step run — all late, "
+                        "all good (readme.md:49-51); the gate's ~100-300 "
+                        "steps track early weak checkpoints too, which made "
+                        "the ensemble_vs_single margin knife-edge for slow "
+                        "convergers (round-4 efficientnet-b4: -0.0169 vs "
+                        "tolerance -0.02). 0 = all tracked checkpoints.")
+    p.add_argument("--pretrained-proof", action="store_true",
+                   help="also prove the --pretrained path end-to-end: "
+                        "pretrain on a differently-seeded synthetic dataset, "
+                        "export to a torchvision-format .pth, re-train the "
+                        "gate arch from the imported weights, and record the "
+                        "first-eval convergence delta vs the scratch run "
+                        "(the actual point of --pretrained, reference "
+                        "chexpert.py:461-466)")
     p.add_argument("--lr_decay_factor", default="0.97",
                    help="exponential-schedule gamma (efficientnet archs): the "
                         "reference default 0.97/step decays lr to ~0 within "
@@ -186,12 +270,16 @@ def main(argv=None) -> int:
                    help="attention implementation for AA archs; the einsum "
                         "fallback deliberately halves throughput — used to "
                         "prove the per-arch floors actually gate")
-    p.add_argument("--sabotage", default="", choices=["", "uzeros"],
-                   help="inject a deliberate bug and invert the verdict: "
-                        "exit 0 iff the AUC gate FAILS. 'uzeros' trains with "
-                        "the wrong uncertainty mapping (U-Zeros instead of "
-                        "U-Ones) — the fixture's weak uncertain positives "
-                        "make that measurably crater validation AUC")
+    p.add_argument("--sabotage", default="", choices=["", "uzeros", "einsum"],
+                   help="inject a deliberate regression and invert the "
+                        "verdict: exit 0 iff the gate FAILS. 'uzeros' trains "
+                        "with the wrong uncertainty mapping (U-Zeros instead "
+                        "of U-Ones) — the fixture's weak uncertain positives "
+                        "make that measurably crater validation AUC (AUC "
+                        "checks must fail). 'einsum' (AA archs) swaps the "
+                        "Pallas attention kernel for the einsum fallback — "
+                        "the per-arch THROUGHPUT floor must fail, proving it "
+                        "actually gates compute regressions")
     args = p.parse_args(argv)
 
     if args.tiny:
@@ -244,13 +332,29 @@ def main(argv=None) -> int:
         # noise ~1%.
         fixture = dict(n_train=2048, n_valid=512, image_size=320,
                        label_noise=0.08, weak_frac=0.3, uncertain_frac=1.0)
+        lr = args.lr if args.lr is not None else ARCH_GATE_LR.get(args.arch, "1e-4")
+        epochs = (args.epochs if args.epochs is not None
+                  else ARCH_GATE_EPOCHS.get(args.arch, 3))
+        batch = (args.batch_size if args.batch_size is not None
+                 else ARCH_GATE_BATCH.get(args.arch, 64))
+        attn_impl = args.attn_impl
+        if args.sabotage == "einsum":
+            assert args.arch.startswith("aa"), (
+                "--sabotage einsum needs an attention arch (the regression "
+                "it injects is the einsum attention fallback)")
+            attn_impl = "einsum"
+            # the einsum path materializes the (B, nh, HW, HW) f32 logits
+            # plus softmax autodiff residuals — ~10 GB at batch 64, HW=1600;
+            # batch 16 fits. The floor proof is unaffected: the check is
+            # that the recorded floor FAILS the halved-throughput run.
+            batch = min(batch, 16)
         train_flags = [
             "--model", args.arch, "--image_size", "320",
-            "--batch_size", "64", "--n_epochs", str(args.epochs), "--lr", args.lr,
+            "--batch_size", str(batch), "--n_epochs", str(epochs), "--lr", lr,
             "--lr_decay_factor", args.lr_decay_factor,
             "--compute_dtype", "bfloat16", "--log_interval", "8",
             "--eval_interval", "16", "--packed_cache",
-            "--attn_impl", args.attn_impl,
+            "--attn_impl", attn_impl,
             "--uncertain_policy", "zeros" if args.sabotage == "uzeros" else "ones",
         ]
         band = ARCH_AUC_BANDS.get(args.arch, FALLBACK_AUC_BAND)
@@ -276,12 +380,30 @@ def main(argv=None) -> int:
 
     single = _best_single_auc(run_dir)
 
+    ensemble_dir = os.path.join(run_dir, "best_checkpoints")
+    top_k = 0 if args.tiny else args.ensemble_top_k
+    if top_k:
+        # ensemble only the top-K tracker rows (sorted descending by AvgAUC,
+        # checkpoint/tracker.py) — the reference's top-10-of-60k-steps are
+        # all late/good checkpoints; the gate's short runs also track early
+        # weak ones, which dragged ensemble_vs_single to its tolerance edge
+        import numpy as np
+
+        rows = np.atleast_2d(np.loadtxt(
+            os.path.join(run_dir, "checkpoints_tracker.csv"), skiprows=1))
+        ids = [int(i) for i in rows[:top_k, 0]]
+        pruned = os.path.join(run_dir, f"best_top{top_k}")
+        os.makedirs(pruned, exist_ok=True)
+        for i in ids:
+            shutil.copy2(
+                os.path.join(ensemble_dir, f"checkpoint_{i}.msgpack"),
+                os.path.join(pruned, f"checkpoint_{i}.msgpack"))
+        ensemble_dir = pruned
     if not (args.skip_train and
             os.path.exists(os.path.join(run_dir, "eval_results_ensemble.json"))):
-        print("[acceptance] ensemble-evaluating tracked best checkpoints...")
+        print(f"[acceptance] ensemble-evaluating {ensemble_dir}...")
         rc = chexpert_main(
-            base + ["--evaluate_ensemble",
-                    "--restore", os.path.join(run_dir, "best_checkpoints")]
+            base + ["--evaluate_ensemble", "--restore", ensemble_dir]
             + train_flags
         )
         assert rc in (0, None), f"ensemble eval exited {rc}"
@@ -297,6 +419,16 @@ def main(argv=None) -> int:
         # the gate cannot demand more than the session's link can feed;
         # 0.8 x link = same margin the arch floors carry vs their records
         tp_floor = round(min(tp_floor, 0.8 * link_img_s), 1)
+
+    compute_rate = compute_floor = None
+    if not (on_cpu or args.tiny or args.sabotage):
+        row = _artifact_compute_row(args.arch)
+        if row:
+            art_img_s, art_batch, art_hw = row
+            compute_floor = round(COMPUTE_FLOOR_FRACTION * art_img_s, 1)
+            print(f"[acceptance] compute-only probe at batch {art_batch} "
+                  f"@ {art_hw}^2 (artifact row {art_img_s} img/s)...")
+            compute_rate = _probe_compute_img_s(args.arch, art_batch, art_hw)
 
     checks = {
         "single_model_mean_auc": (
@@ -321,6 +453,10 @@ def main(argv=None) -> int:
             on_cpu or throughput >= tp_floor,
         ),
     }
+    if compute_rate is not None:
+        checks["compute_images_per_sec"] = (
+            compute_rate, (compute_floor, None), compute_rate >= compute_floor,
+        )
     ok = all(passed for _, _, passed in checks.values())
     result = {
         "acceptance": "PASS" if ok else "FAIL",
@@ -333,21 +469,146 @@ def main(argv=None) -> int:
     if link_img_s is not None:
         result["train_images_per_sec"]["h2d_link_img_s"] = round(link_img_s, 1)
     if args.sabotage:
-        # inverted verdict: the gate must CATCH the injected bug via the AUC
-        # checks specifically (throughput is unaffected by sabotage)
-        auc_ok = (checks["single_model_mean_auc"][2]
-                  and checks["ensemble_mean_auc"][2])
+        # inverted verdict: the gate must CATCH the injected regression via
+        # the checks that regression targets — 'uzeros' craters AUC
+        # (throughput unaffected), 'einsum' halves attention-arch
+        # throughput (numerics unaffected)
+        if args.sabotage == "einsum":
+            caught = not checks["train_images_per_sec"][2]
+        else:
+            caught = not (checks["single_model_mean_auc"][2]
+                          and checks["ensemble_mean_auc"][2])
         result["sabotage"] = args.sabotage
-        result["acceptance"] = "PASS" if not auc_ok else "FAIL"
+        result["acceptance"] = "PASS" if caught else "FAIL"
         result["arch"] = result["arch"] + f"+sabotage_{args.sabotage}"
         print(json.dumps(result))
         if args.out:
             merge_arch_result(args.out, result)
-        return 0 if not auc_ok else 1
+        return 0 if caught else 1
     print(json.dumps(result))
     if args.out:
         merge_arch_result(args.out, result)
+    if args.pretrained_proof and not args.tiny:
+        proof = run_pretrained_proof(
+            args, workdir, fixture, train_flags, run_dir,
+            (auc_floor, auc_ceiling))
+        print(json.dumps(proof))
+        if args.out:
+            merge_arch_result(args.out, proof)
+        ok = ok and proof["acceptance"] == "PASS"
     return 0 if ok else 1
+
+
+def _eval_series(output_dir: str):
+    """[(step, mean_auc)] over the run's eval snapshots, step-ascending."""
+    paths = glob.glob(os.path.join(output_dir, "eval_results_step_*.json"))
+    assert paths, f"no eval_results_step_*.json under {output_dir}"
+
+    def step(p):
+        return int(os.path.basename(p).rsplit("_", 1)[1].split(".")[0])
+
+    return sorted((step(p), _mean_auc(json.load(open(p)))) for p in paths)
+
+
+def run_pretrained_proof(args, workdir: str, fixture: dict, train_flags,
+                         scratch_run_dir: str, band) -> dict:
+    """End-to-end --pretrained proof (round-4 verdict #7).
+
+    The importer is format-proven (tests/test_pretrained_real_format.py);
+    this proves the POINT of --pretrained (reference chexpert.py:461-466):
+    pretrain on a DIFFERENTLY-SEEDED synthetic dataset (same generative
+    process — the transfer analogue of ImageNet->CheXpert), export through
+    the torchvision .pth format, re-enter via the production import path,
+    and show better first-eval AUC than the scratch gate run on the same
+    fixture."""
+    from chexpert_tpu.cli.chexpert import main as chexpert_main
+
+    assert args.arch in ("densenet121", "resnet152"), (
+        "--pretrained-proof covers the torchvision-importable archs")
+
+    # 1. differently-seeded pretraining dataset (same difficulty)
+    pre_data = os.path.join(workdir, "pretrain_data")
+    marker = os.path.join(pre_data, "fixture.json")
+    pre_fixture = dict(fixture, seed=7)
+    if not (os.path.exists(marker) and json.load(open(marker)) == pre_fixture):
+        if os.path.isdir(pre_data):
+            shutil.rmtree(pre_data)
+        os.makedirs(pre_data)
+        print(f"[acceptance] building pretrain fixture under {pre_data}")
+        from chexpert_tpu.data import make_synthetic_dataset
+
+        make_synthetic_dataset(pre_data, **pre_fixture)
+        json.dump(pre_fixture, open(marker, "w"))
+
+    # 2. pretrain in THIS framework
+    pre_run = os.path.join(workdir, f"run_pretrain_src_{args.arch}")
+    if not os.path.exists(os.path.join(pre_run, "checkpoint_latest.msgpack")):
+        print("[acceptance] pretraining on the seed-7 dataset...")
+        rc = chexpert_main(["--data_path", pre_data, "--output_dir", pre_run,
+                            "--train"] + train_flags)
+        assert rc in (0, None), f"pretrain exited {rc}"
+
+    # 3. export the pretrained weights through the torchvision .pth format
+    import jax as _jax
+    import jax.numpy as jnp
+
+    from chexpert_tpu.checkpoint import load_model_checkpoint
+    from chexpert_tpu.models import build_model
+    from chexpert_tpu.models.pretrained import export_torch_state_dict
+    from chexpert_tpu.train import init_model
+
+    model, _ = build_model(args.arch, image_size=320, dtype=jnp.bfloat16)
+    params, stats = init_model(model, _jax.random.PRNGKey(0), (1, 320, 320, 3))
+    ck = load_model_checkpoint(
+        os.path.join(pre_run, "checkpoint_latest.msgpack"), params, stats)
+    pth_dir = os.path.join(workdir, "pth")
+    os.makedirs(pth_dir, exist_ok=True)
+    n = export_torch_state_dict(
+        ck["params"], ck["batch_stats"], args.arch,
+        os.path.join(pth_dir, f"{args.arch}.pth"))
+    print(f"[acceptance] exported {n} tensors to {pth_dir}/{args.arch}.pth")
+
+    # 4. gate-fixture run FROM the imported weights (production import path)
+    pt_run = os.path.join(workdir, f"run_{args.arch}_pretrained")
+    if os.path.isdir(pt_run) and not args.skip_train:
+        shutil.rmtree(pt_run)
+    os.environ[  # the CLI's load_pretrained reads this
+        "CHEXPERT_TPU_PRETRAINED_DIR"] = pth_dir
+    if not args.skip_train or not os.path.isdir(pt_run):
+        print("[acceptance] training from imported pretrained weights...")
+        rc = chexpert_main(["--data_path", workdir, "--output_dir", pt_run,
+                            "--train", "--evaluate_single_model",
+                            "--pretrained"] + train_flags)
+        assert rc in (0, None), f"pretrained train exited {rc}"
+
+    # 5. convergence comparison vs the scratch gate run
+    scratch = _eval_series(scratch_run_dir)
+    pre = _eval_series(pt_run)
+    delta_first = pre[0][1] - scratch[0][1]
+    best = max(a for _, a in pre)
+    auc_floor, auc_ceiling = band
+    checks = {
+        "single_model_mean_auc": (
+            best, (auc_floor, auc_ceiling), auc_floor <= best <= auc_ceiling),
+        # the point of --pretrained: materially faster convergence. The
+        # fixture's ~1% AUC noise sets the 2x-noise margin (r4 verdict #4).
+        "convergence_delta_first_eval": (
+            delta_first, (0.02, None), delta_first >= 0.02),
+    }
+    ok = all(passed for _, _, passed in checks.values())
+    import jax
+
+    return {
+        "acceptance": "PASS" if ok else "FAIL",
+        "mode": "production",
+        "arch": f"{args.arch}_pretrained",
+        "device": str(jax.devices()[0]),
+        "first_eval_auc": {"scratch": round(scratch[0][1], 4),
+                           "pretrained": round(pre[0][1], 4),
+                           "at_step": scratch[0][0]},
+        **{k: {"value": round(v, 4), "bounds": b, "ok": passed}
+           for k, (v, b, passed) in checks.items()},
+    }
 
 
 def merge_arch_result(out_path: str, result: dict) -> dict:

@@ -60,3 +60,34 @@ def test_acceptance_out_merges_per_arch(tmp_path):
     json.dump({"acceptance": "PASS", "arch": "densenet121"}, open(out, "w"))
     acceptance.merge_arch_result(out, {"acceptance": "PASS", "arch": "resnet152"})
     assert set(json.load(open(out))["archs"]) == {"resnet152"}
+
+
+def test_arch_gate_defaults_and_einsum_sabotage_guard():
+    """Arch-aware gate defaults exist for the archs that need them, and the
+    einsum floor-proof refuses non-attention archs up front."""
+    import acceptance
+
+    assert acceptance.ARCH_GATE_LR["aadensenet121"] == "3e-2"
+    assert acceptance.ARCH_GATE_EPOCHS["efficientnet-b7"] == 10
+    assert acceptance.ARCH_GATE_BATCH["efficientnet-b7"] == 16
+    # every README-table arch has a throughput floor and an AUC band row
+    for arch in ("densenet121", "resnet152", "aadensenet121", "aaresnet152",
+                 "efficientnet-b0", "efficientnet-b4", "efficientnet-b7"):
+        assert arch in acceptance.ARCH_THROUGHPUT_FLOORS, arch
+        assert arch in acceptance.ARCH_AUC_BANDS, arch
+    with pytest.raises(AssertionError, match="attention arch"):
+        acceptance.main(["--arch", "densenet121", "--sabotage", "einsum",
+                         "--workdir", "/tmp/nonexistent_gate"])
+
+
+def test_eval_series_ordering(tmp_path):
+    import json
+
+    import acceptance
+
+    for step, aucs in [(32, 0.7), (16, 0.6), (48, 0.8)]:
+        json.dump({"aucs": {"0": aucs}, "loss": {}},
+                  open(tmp_path / f"eval_results_step_{step}.json", "w"))
+    series = acceptance._eval_series(str(tmp_path))
+    assert [s for s, _ in series] == [16, 32, 48]
+    assert abs(series[0][1] - 0.6) < 1e-9

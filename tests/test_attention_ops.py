@@ -197,12 +197,11 @@ def test_vmem_guard_rejects_oversized_geometry():
     from chexpert_tpu.ops.pallas_attention import _flash_forward
 
     hw, W, H, dkh = 25600, 160, 160, 20
-    q = jnp.zeros((1, 1, hw, dkh), jnp.bfloat16)
+    qr = jnp.zeros((1, 1, hw, dkh + W + H), jnp.bfloat16)
+    k = jnp.zeros((1, 1, hw, dkh), jnp.bfloat16)
     v = jnp.zeros((1, 1, hw, 1), jnp.bfloat16)
-    rw = jnp.zeros((1, 1, hw, W))
-    rh = jnp.zeros((1, 1, hw, H))
     with pytest.raises(AssertionError, match="VMEM budget"):
-        _flash_forward(q, q, v, rw, rh, H, W)
+        _flash_forward(qr, k, v, H, W, dkh)
 
 
 def test_attention_pallas_bf16_matches_einsum_bf16():
@@ -437,3 +436,69 @@ def test_relative_logits_compact_bd_height_variants(impl, monkeypatch):
     for name, a, b in zip(["dq", "drel_w", "drel_h"], g1, g2):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a),
                                    rtol=1e-5, atol=1e-4, err_msg=name)
+
+
+def test_packed_q_relw_bd_matches_compact():
+    """[q ; RW] one-matmul pack (the round-5 default qr producer): the q
+    columns must be EXACT and the RW columns must match the einsum ground
+    truth, values and gradients, including rectangular H != W."""
+    import jax
+
+    from chexpert_tpu.ops.attention import packed_q_relw_bd, rel_h_compact
+
+    rng = np.random.RandomState(19)
+    B, nh, H, W, dkh = 2, 3, 4, 5, 6
+    q = jnp.asarray(rng.randn(B, nh, H * W, dkh), jnp.float32)
+    rel_w = jnp.asarray(rng.randn(dkh, 2 * W - 1), jnp.float32)
+    rel_h = jnp.asarray(rng.randn(dkh, 2 * H - 1), jnp.float32)
+    rw1, rh1 = relative_logits_compact(
+        q.reshape(B, nh, H, W, dkh), rel_w, rel_h)
+    packed = packed_q_relw_bd(q, rel_w, H, W)
+    np.testing.assert_array_equal(np.asarray(packed[..., :dkh]), np.asarray(q))
+    np.testing.assert_allclose(np.asarray(packed[..., dkh:]), np.asarray(rw1),
+                               atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(rel_h_compact(q.reshape(B, nh, H, W, dkh), rel_h)),
+        np.asarray(rh1), atol=1e-5)
+
+    def ref(q, rel_w):
+        rw, _ = relative_logits_compact(
+            q.reshape(B, nh, H, W, dkh), rel_w, rel_h)
+        return (jnp.concatenate([q, rw], -1) ** 3).sum()
+
+    g1 = jax.grad(ref, argnums=(0, 1))(q, rel_w)
+    g2 = jax.grad(lambda q, rw: (packed_q_relw_bd(q, rw, H, W) ** 3).sum(),
+                  argnums=(0, 1))(q, rel_w)
+    for name, a, b in zip(["dq", "drel_w"], g1, g2):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-5, atol=1e-4, err_msg=name)
+
+
+@pytest.mark.parametrize("impl", ["fusedpack", "bd", "einsum"])
+def test_attention_pallas_rel_impls_match(impl, monkeypatch):
+    """Every CHEXPERT_REL_IMPL choice must produce the same attention output
+    and gradients (the A/B lever must only move performance)."""
+    import jax
+
+    monkeypatch.setenv("CHEXPERT_REL_IMPL", impl)
+    rng = np.random.RandomState(20)
+    B, nh, H, W, dkh, dvh = 1, 2, 4, 5, 6, 3
+    q = jnp.asarray(rng.randn(B, nh, H * W, dkh), jnp.float32)
+    k = jnp.asarray(rng.randn(B, nh, H * W, dkh), jnp.float32)
+    v = jnp.asarray(rng.randn(B, nh, H * W, dvh), jnp.float32)
+    rel_w = jnp.asarray(rng.randn(dkh, 2 * W - 1), jnp.float32)
+    rel_h = jnp.asarray(rng.randn(dkh, 2 * H - 1), jnp.float32)
+
+    def loss(fn):
+        def f(q, k, v, rw, rh):
+            return (fn(q, k, v, rw, rh) ** 2).sum()
+        return jax.grad(f, argnums=(0, 1, 2, 3, 4))
+
+    ref, _ = aa_attention_einsum(q, k, v, rel_w, rel_h, H, W)
+    out = aa_attention_pallas(q, k, v, rel_w, rel_h, H, W)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-4)
+    ge = loss(lambda *a: aa_attention_einsum(*a, H, W)[0])(q, k, v, rel_w, rel_h)
+    gp = loss(lambda *a: aa_attention_pallas(*a, H, W))(q, k, v, rel_w, rel_h)
+    for name, a, b in zip(["dq", "dk", "dv", "drel_w", "drel_h"], ge, gp):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=5e-4,
+                                   err_msg=name)

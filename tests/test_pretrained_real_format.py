@@ -127,3 +127,49 @@ def test_pretrained_resnet152_modern_format(tmp_path, monkeypatch):
     params, stats = init_model(fm, jax.random.PRNGKey(0), (1, 64, 64, 3))
     params, stats = load_pretrained("resnet152", params, stats)
     _forward_parity(tm, fm, params, stats, sd, "fc", 64, 3e-4)
+
+
+@pytest.mark.parametrize("arch", ["densenet121", "resnet152"])
+def test_export_import_round_trip(arch, tmp_path):
+    """export_torch_state_dict must be the exact inverse of the importer:
+    our params -> torchvision .pth -> importer -> identical trees (the
+    acceptance gate's --pretrained-proof pretrains in THIS framework and
+    re-enters through the production import path)."""
+    import flax.traverse_util as tu
+
+    from chexpert_tpu.models.pretrained import (
+        convert_torch_state_dict,
+        export_torch_state_dict,
+    )
+
+    if arch == "densenet121":
+        fm = DenseNet(16, (2, 3), 24, num_classes=5, dtype=jnp.float32)
+    else:
+        fm = ResNet("bottleneck", (1, 1, 1, 1), num_classes=5, dtype=jnp.float32)
+    params, stats = init_model(fm, jax.random.PRNGKey(3), (1, 64, 64, 3))
+    # make running stats distinguishable from init (mean 0 / var 1)
+    stats = jax.tree_util.tree_map(
+        lambda x: x + np.linspace(0.1, 0.9, x.size).reshape(x.shape).astype(x.dtype),
+        stats)
+
+    path = str(tmp_path / f"{arch}.pth")
+    n = export_torch_state_dict(params, stats, arch, path)
+    assert n > 0
+    sd = {k: v.numpy() for k, v in torch.load(path, weights_only=True).items()}
+    # torchvision-format key shape: densenet body under features., head at top
+    if arch == "densenet121":
+        assert any(k.startswith("features.") for k in sd)
+        assert "classifier.weight" in sd
+    else:
+        assert any(".downsample.0.weight" in k for k in sd)
+        assert "fc.weight" in sd
+
+    p2, s2 = convert_torch_state_dict(sd, params, stats, arch, include_head=True)
+    for (ka, a), (kb, b) in zip(sorted(tu.flatten_dict(params).items()),
+                                sorted(tu.flatten_dict(p2).items())):
+        assert ka == kb
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b), err_msg=str(ka))
+    for (ka, a), (kb, b) in zip(sorted(tu.flatten_dict(stats).items()),
+                                sorted(tu.flatten_dict(s2).items())):
+        assert ka == kb
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b), err_msg=str(ka))
