@@ -131,6 +131,12 @@ ARCH_GATE_EPOCHS = {"efficientnet-b0": 10, "efficientnet-b4": 10,
                     "efficientnet-b7": 10}     # BN momentum 0.01 timescale
 ARCH_GATE_BATCH = {"efficientnet-b7": 16}      # b7 @320^2 OOMs at batch 64
                                                # (BENCH sweeps 8/16 only)
+ARCH_GATE_DECAY = {"efficientnet-b0": "0.999", "efficientnet-b4": "0.999",
+                   "efficientnet-b7": "0.999"}  # the reference 0.97/step
+                                               # decays lr to ~0 within ~150
+                                               # steps — fine on 1700-step
+                                               # CheXpert epochs, fatal on
+                                               # the gate's 32-step epochs
 
 
 def arch_throughput_floor(arch: str, explicit: "float | None",
@@ -260,7 +266,7 @@ def main(argv=None) -> int:
                         "first-eval convergence delta vs the scratch run "
                         "(the actual point of --pretrained, reference "
                         "chexpert.py:461-466)")
-    p.add_argument("--lr_decay_factor", default="0.97",
+    p.add_argument("--lr_decay_factor", default=None,
                    help="exponential-schedule gamma (efficientnet archs): the "
                         "reference default 0.97/step decays lr to ~0 within "
                         "~150 steps — fine on 1700-step CheXpert epochs, but "
@@ -337,6 +343,8 @@ def main(argv=None) -> int:
                   else ARCH_GATE_EPOCHS.get(args.arch, 3))
         batch = (args.batch_size if args.batch_size is not None
                  else ARCH_GATE_BATCH.get(args.arch, 64))
+        decay = (args.lr_decay_factor if args.lr_decay_factor is not None
+                 else ARCH_GATE_DECAY.get(args.arch, "0.97"))
         attn_impl = args.attn_impl
         if args.sabotage == "einsum":
             assert args.arch.startswith("aa"), (
@@ -351,7 +359,7 @@ def main(argv=None) -> int:
         train_flags = [
             "--model", args.arch, "--image_size", "320",
             "--batch_size", str(batch), "--n_epochs", str(epochs), "--lr", lr,
-            "--lr_decay_factor", args.lr_decay_factor,
+            "--lr_decay_factor", decay,
             "--compute_dtype", "bfloat16", "--log_interval", "8",
             "--eval_interval", "16", "--packed_cache",
             "--attn_impl", attn_impl,
