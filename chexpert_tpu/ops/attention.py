@@ -191,8 +191,19 @@ def rel_h_compact(q2d: jnp.ndarray, rel_h: jnp.ndarray) -> jnp.ndarray:
     Same math as relative_logits_compact's height side. The batched
     diagonal-gather einsum stays the measured default
     (relative_logits_compact_bd's height notes: both the broadcast-reduce
-    and the BD-transpose alternatives measured slower on-chip)."""
+    and the BD-transpose alternatives measured slower on-chip).
+    CHEXPERT_REL_H=mmskew: plain minor-dim matmul against the RAW (dkh,
+    2H-1) embedding (no batch dims — no batch-major relayouts) followed by
+    a take_along_axis skew of the tiny last axis; worth re-measuring under
+    the round-5 vjp boundary (the round-3 loss was measured against the
+    OLD pack-inside-vjp graph)."""
     B, nh, H, W, dkh = q2d.shape
+    if os.environ.get("CHEXPERT_REL_H") == "mmskew":
+        u = jnp.einsum("bnhwd,dr->bnhwr", q2d, rel_h)  # (B,nh,H,W,2H-1)
+        ih = jnp.arange(H)
+        idx = ih[None, :] - ih[:, None] + H - 1  # (h, m)
+        rh = jnp.take_along_axis(u, idx[None, None, :, None, :], axis=-1)
+        return rh.reshape(B, nh, H * W, H)
     ih = jnp.arange(H)
     rel_h_abs = rel_h[:, ih[None, :] - ih[:, None] + H - 1]  # (d, h, m)
     rh = jnp.einsum("bnhwd,dhm->bnhwm", q2d, rel_h_abs)

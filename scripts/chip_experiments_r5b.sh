@@ -1,10 +1,10 @@
 #!/bin/bash
-# Round-5b chip queue (chained after r5a): the MXU-shaped depthwise sweep,
-# the un-attributed batch-256 trace, then the full acceptance-gate refresh
-# under the round-5 semantics (top-3 tracked-checkpoint ensemble, compute-only
-# floor, arch-aware defaults) — including the three new rows the round-4
-# verdict demanded: efficientnet-b7, the einsum throughput floor-proof, and
-# the pretrained convergence proof.
+# Round-5b chip queue (chained after r5a), priority-ordered so the verdict's
+# must-land artifacts bank first: depthwise MXU sweep (task 2), batch-256
+# trace (task 6), the new gate rows — pretrained proof (task 7), einsum
+# floor-proof + efficientnet-b7 (task 3) — then the full BENCH_all_r05 table,
+# then the remaining per-arch gate refreshes under the round-5 semantics
+# (top-3 ensemble, compute-only floor, arch-aware defaults).
 export PYTHONPATH=/root/repo:/root/.axon_site
 cd /root/repo
 set -o pipefail
@@ -42,23 +42,27 @@ echo "=== 6. acceptance sabotage einsum: throughput floor must FAIL it ==="
 stdbuf -oL -eL timeout 9000 python -u scripts/acceptance.py --arch aaresnet152 --sabotage einsum --out ACCEPTANCE_r5.json 2>&1 | grep --line-buffered -v "^WARNING"
 date -u
 
-echo "=== 7. acceptance aadensenet121 ==="
+echo "=== 7. acceptance efficientnet-b7 (new gate row, verdict task 3) ==="
+stdbuf -oL -eL timeout 10800 python -u scripts/acceptance.py --arch efficientnet-b7 --out ACCEPTANCE_r5.json 2>&1 | grep --line-buffered -v "^WARNING"
+date -u
+
+echo "=== 8. full per-arch bench table -> BENCH_all_r05.json ==="
+stdbuf -oL -eL timeout 10800 python -u bench.py --model all --out BENCH_all_r05.json 2>&1 | grep --line-buffered -v "^WARNING"
+date -u
+
+echo "=== 9. acceptance aadensenet121 ==="
 stdbuf -oL -eL timeout 9000 python -u scripts/acceptance.py --arch aadensenet121 --out ACCEPTANCE_r5.json 2>&1 | grep --line-buffered -v "^WARNING"
 date -u
 
-echo "=== 8. acceptance resnet152 ==="
+echo "=== 10. acceptance efficientnet-b4 ==="
+stdbuf -oL -eL timeout 10800 python -u scripts/acceptance.py --arch efficientnet-b4 --out ACCEPTANCE_r5.json 2>&1 | grep --line-buffered -v "^WARNING"
+date -u
+
+echo "=== 11. acceptance resnet152 ==="
 stdbuf -oL -eL timeout 7200 python -u scripts/acceptance.py --arch resnet152 --out ACCEPTANCE_r5.json 2>&1 | grep --line-buffered -v "^WARNING"
 date -u
 
-echo "=== 9. acceptance efficientnet-b0 ==="
-stdbuf -oL -eL timeout 9000 python -u scripts/acceptance.py --arch efficientnet-b0 --lr_decay_factor 0.999 --out ACCEPTANCE_r5.json 2>&1 | grep --line-buffered -v "^WARNING"
-date -u
-
-echo "=== 10. acceptance efficientnet-b4 ==="
-stdbuf -oL -eL timeout 10800 python -u scripts/acceptance.py --arch efficientnet-b4 --lr_decay_factor 0.999 --out ACCEPTANCE_r5.json 2>&1 | grep --line-buffered -v "^WARNING"
-date -u
-
-echo "=== 11. acceptance efficientnet-b7 (new gate row) ==="
-stdbuf -oL -eL timeout 10800 python -u scripts/acceptance.py --arch efficientnet-b7 --lr_decay_factor 0.999 --out ACCEPTANCE_r5.json 2>&1 | grep --line-buffered -v "^WARNING"
+echo "=== 12. acceptance efficientnet-b0 ==="
+stdbuf -oL -eL timeout 9000 python -u scripts/acceptance.py --arch efficientnet-b0 --out ACCEPTANCE_r5.json 2>&1 | grep --line-buffered -v "^WARNING"
 date -u
 echo "=== done ==="

@@ -1,7 +1,7 @@
 """Generate the README performance table from the committed bench artifact.
 
 The README's per-arch throughput claims must be regenerable records, not
-prose (round-3 verdict): this script renders `BENCH_all_r04.json` (written
+prose (round-3 verdict): this script renders the newest `BENCH_all_r*.json` (written
 by `python bench.py --model all --out ...` on the real chip) into the
 markdown table between the BENCH_TABLE markers in README.md.
 
@@ -13,6 +13,7 @@ markdown table between the BENCH_TABLE markers in README.md.
 from __future__ import annotations
 
 import argparse
+import glob
 import json
 import os
 import sys
@@ -75,7 +76,9 @@ def render(artifact_path: str) -> str:
 
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(description=__doc__)
-    p.add_argument("--artifact", default=os.path.join(REPO, "BENCH_all_r04.json"))
+    p.add_argument("--artifact",
+                   default=sorted(glob.glob(os.path.join(REPO, "BENCH_all_r*.json")))[-1],
+                   help="defaults to the NEWEST committed BENCH_all_r*.json")
     p.add_argument("--readme", default=os.path.join(REPO, "README.md"))
     p.add_argument("--write", action="store_true")
     p.add_argument("--check", action="store_true")

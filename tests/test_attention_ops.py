@@ -474,12 +474,15 @@ def test_packed_q_relw_bd_matches_compact():
                                    rtol=1e-5, atol=1e-4, err_msg=name)
 
 
-@pytest.mark.parametrize("impl", ["fusedpack", "bd", "einsum"])
+@pytest.mark.parametrize("impl", ["fusedpack", "fusedpack+mmskew", "bd", "einsum"])
 def test_attention_pallas_rel_impls_match(impl, monkeypatch):
     """Every CHEXPERT_REL_IMPL choice must produce the same attention output
     and gradients (the A/B lever must only move performance)."""
     import jax
 
+    if impl == "fusedpack+mmskew":
+        impl = "fusedpack"
+        monkeypatch.setenv("CHEXPERT_REL_H", "mmskew")
     monkeypatch.setenv("CHEXPERT_REL_IMPL", impl)
     rng = np.random.RandomState(20)
     B, nh, H, W, dkh, dvh = 1, 2, 4, 5, 6, 3

@@ -1,7 +1,8 @@
 """The README perf table must stay in sync with the committed bench artifact.
 
 Round-3 verdict: per-arch throughput claims must be regenerable records, not
-prose. scripts/gen_perf_table.py renders BENCH_all_r04.json into README.md;
+prose. scripts/gen_perf_table.py renders the newest BENCH_all_r*.json into
+README.md;
 this test fails whenever either side is edited without re-running --write.
 """
 
