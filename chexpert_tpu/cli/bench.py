@@ -63,7 +63,7 @@ def build_parser() -> argparse.ArgumentParser:
     common.add_argument("--attn_nh", type=int, default=8)
     common.add_argument("--attn_relative", type=lambda s: s.lower() != "false", default=True)
     common.add_argument("--input_dims", default=(32, 32), type=int, nargs="+")
-    common.add_argument("--attn_impl", default="pallas", choices=["pallas", "einsum"])
+    common.add_argument("--attn_impl", default="pallas", choices=["pallas", "pallas-fusedpack", "pallas-bd", "einsum"])
     # actions
     common.add_argument("--train", action="store_true")
     common.add_argument("--evaluate", action="store_true")

@@ -85,7 +85,7 @@ def build_parser() -> argparse.ArgumentParser:
                         "host-contiguous hybrid mesh, per-host batch slices. "
                         "Run the same command on every host; batch_size stays "
                         "the GLOBAL batch size.")
-    p.add_argument("--attn_impl", default="pallas", choices=["pallas", "einsum"])
+    p.add_argument("--attn_impl", default="pallas", choices=["pallas", "pallas-fusedpack", "pallas-bd", "einsum"])
     p.add_argument("--data_workers", type=int, default=8)
     p.add_argument("--prefetch", type=int, default=2)
     p.add_argument("--ensemble_member_chunk", type=int, default=0,

@@ -106,7 +106,10 @@ class AAConv2d(nn.Module):
     input_dims: Tuple[int, int]  # (H, W) of the *attention* feature map
     groups: int = 1
     dtype: Dtype = jnp.bfloat16
-    attn_impl: str = "pallas"  # 'pallas' | 'einsum'
+    # 'pallas' (rel pack per the measured default) | 'pallas-fusedpack' |
+    # 'pallas-bd' (explicit rel pack choice; registry maps each arch's
+    # 'pallas' to its measured winner) | 'einsum'
+    attn_impl: str = "pallas"
 
     @nn.compact
     def __call__(self, x, capture_weights: bool = False):
@@ -119,7 +122,7 @@ class AAConv2d(nn.Module):
         # measured on aaresnet152: 147-150 img/s vs HIL's 140 — see README
         # "Heads-in-lanes A/B"), "hil" = token-major heads-in-lanes kernel
         # (zero layout ops on the attention path; opt-in pending a win)
-        use_pallas = self.attn_impl == "pallas" and not capture_weights
+        use_pallas = self.attn_impl.startswith("pallas") and not capture_weights
         if use_pallas and os.environ.get("CHEXPERT_ATTN_LAYOUT", "bn") == "hil":
             from chexpert_tpu.ops.pallas_attention import hil_supported
 
@@ -178,7 +181,10 @@ class AAConv2d(nn.Module):
             if use_pallas == "bn":
                 from chexpert_tpu.ops.pallas_attention import aa_attention_pallas
 
-                attn_out = aa_attention_pallas(qh, kh, vh, rel_w, rel_h, H, W)
+                rel_impl = (self.attn_impl.split("-", 1)[1]
+                            if "-" in self.attn_impl else "fusedpack")
+                attn_out = aa_attention_pallas(qh, kh, vh, rel_w, rel_h, H, W,
+                                               rel_impl=rel_impl)
             else:
                 attn_out, weights = aa_attention_einsum(
                     qh, kh, vh, rel_w, rel_h, H, W, return_weights=capture_weights

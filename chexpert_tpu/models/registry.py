@@ -116,6 +116,12 @@ def build_model(
         )
     if name == "aaresnet152":
         attn = AttnParams(k=0.2, v=0.1, nh=8, relative=True, input_dims=(image_size, image_size))
+        # 'pallas' -> 'pallas-bd': the separate-RW/RH pack wins on this
+        # COMPUTE-bound arch (149.3 vs fusedpack's 144.8 img/s @16, r5 A/B —
+        # the fusedpack identity block adds ~9% train FLOPs that serialize
+        # behind a busy MXU; bandwidth-bound aadensenet121 prefers fusedpack)
+        if attn_impl == "pallas":
+            attn_impl = "pallas-bd"
         return (
             ResNet("bottleneck", (3, 8, 36, 3), num_classes=n_classes, attn=attn,
                    dtype=dtype, attn_impl=attn_impl),

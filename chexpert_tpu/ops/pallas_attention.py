@@ -1258,6 +1258,7 @@ def aa_attention_pallas(
     rel_h: Optional[jnp.ndarray],
     H: int,
     W: int,
+    rel_impl: str = "fusedpack",
 ) -> jnp.ndarray:
     """Fused attention; same contract as aa_attention_einsum minus weights.
 
@@ -1271,12 +1272,17 @@ def aa_attention_pallas(
         # compact rel logits in the kernel dtype: the fused s-dot consumes
         # them as bf16 lanes with f32 MXU accumulation anyway, and f32 here
         # costs an extra convert + double-width layout copies per block.
-        # Default 'fusedpack': [q ; RW] from ONE block-diagonal matmul (the
-        # separate-RW forms pay batch-minor relayout copies of the BD
-        # einsum's 5-D output around every call — ~5 ms/step on
-        # aadensenet121, traced round 5); 'bd'/'einsum' keep the previous
-        # forms as measured A/B fallbacks (CHEXPERT_REL_IMPL).
-        impl = os.environ.get("CHEXPERT_REL_IMPL", "fusedpack")
+        # rel_impl (A/B'd on-chip, round 5; env CHEXPERT_REL_IMPL overrides):
+        #   'fusedpack' — [q ; RW] from ONE block-diagonal matmul. Wins on
+        #       the BANDWIDTH-bound aadensenet121 (770 vs 761 img/s @128):
+        #       the q/RW bytes are written by the dot instead of the BD
+        #       einsum's batch-minor 5-D output copies.
+        #   'bd' — separate RW/RH (relative_logits_compact_bd). Wins on the
+        #       COMPUTE-bound aaresnet152 (149.3 vs 144.8 img/s @16): the
+        #       fusedpack identity block adds ~9%% train FLOPs (185.5 vs
+        #       170.1 GF/img) that serialize behind a busy MXU.
+        # The registry maps each arch's 'pallas' to its measured winner.
+        impl = os.environ.get("CHEXPERT_REL_IMPL", rel_impl)
         if impl == "fusedpack":
             qrw = packed_q_relw_bd(q, rel_w.astype(q.dtype), H, W)
             rh = rel_h_compact(
