@@ -1288,6 +1288,23 @@ def aa_attention_pallas(
             rh = rel_h_compact(
                 q.reshape(B, nh, H, W, dkh), rel_h.astype(q.dtype))
             qr = jnp.concatenate([qrw, rh.astype(q.dtype)], axis=-1)
+        elif impl == "fusedpack5d":
+            # concat in the 5-D (B, nh, H, W, lanes) domain where BOTH
+            # operands are layout-natural — qrw as a free reshape of the
+            # pack dot's (B, nh, H, W*(dkh+W)) output, rh as the height
+            # einsum's raw 5-D output — leaving ONE final relayout into the
+            # kernel's (bn, hw, lanes) form instead of the copy + transposing
+            # reshape + concat chain (r5 trace: those three materialize
+            # separately because each flat sub-128-lane intermediate is
+            # physically 128-lane tile-padded)
+            qrw = packed_q_relw_bd(q, rel_w.astype(q.dtype), H, W)
+            q2d = q.reshape(B, nh, H, W, dkh)
+            ih = jnp.arange(H)
+            rel_h_abs = rel_h.astype(q.dtype)[:, ih[None, :] - ih[:, None] + H - 1]
+            rh5 = jnp.einsum("bnhwd,dhm->bnhwm", q2d, rel_h_abs)
+            qr = jnp.concatenate(
+                [qrw.reshape(B, nh, H, W, dkh + W), rh5.astype(q.dtype)], axis=-1
+            ).reshape(B, nh, hw, dkh + W + H)
         else:
             q2d = q.reshape(B, nh, H, W, dkh)
             rel_fn = (relative_logits_compact if impl == "einsum"

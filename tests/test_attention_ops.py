@@ -474,7 +474,7 @@ def test_packed_q_relw_bd_matches_compact():
                                    rtol=1e-5, atol=1e-4, err_msg=name)
 
 
-@pytest.mark.parametrize("impl", ["fusedpack", "fusedpack+mmskew", "bd", "einsum"])
+@pytest.mark.parametrize("impl", ["fusedpack", "fusedpack+mmskew", "fusedpack5d", "bd", "einsum"])
 def test_attention_pallas_rel_impls_match(impl, monkeypatch):
     """Every CHEXPERT_REL_IMPL choice must produce the same attention output
     and gradients (the A/B lever must only move performance)."""
