@@ -573,7 +573,10 @@ def main() -> int:
         # so the note only annotates that family's records.
         **({"sweep_note": "batch-64 dip = XLA layout flip at the 80x80 "
                           "stage (C-minor keeps concats unfused; "
-                          "+11% bytes/img)"}
+                          "+11% bytes/img); batch-256 = same class at the "
+                          "40x40 stage (conv custom-calls emit C-minor, "
+                          "33 ms/step of standalone concats @386 GB/s — "
+                          "traced r5)"}
            if "densenet" in args.model else {}),
         # Bound analysis (VERDICT r2 task 2): arithmetic intensity is
         # ~27-41 FLOP/B vs the v5e balance point of ~240 — the step
