@@ -107,3 +107,17 @@ def test_registry_refuses_densenet_only_variants():
     module, _ = build_model("aadensenet121", concat_free=True,
                             prefix_stats=False)
     assert module is not None
+
+
+def test_registry_per_arch_attention_defaults():
+    """'pallas' maps to each arch's measured rel-pack winner (r5 A/B:
+    fusedpack wins on bandwidth-bound aadensenet121, bd on compute-bound
+    aaresnet152); explicit variants pass through untouched."""
+    m, _ = build_model("aaresnet152", image_size=320)
+    assert m.attn_impl == "pallas-bd"
+    m, _ = build_model("aaresnet152", image_size=320, attn_impl="pallas-fusedpack")
+    assert m.attn_impl == "pallas-fusedpack"
+    m, _ = build_model("aadensenet121", image_size=320)
+    assert m.attn_impl == "pallas"  # AAConv2d's 'pallas' default = fusedpack
+    m, _ = build_model("aaresnet152", image_size=320, attn_impl="einsum")
+    assert m.attn_impl == "einsum"
