@@ -168,25 +168,40 @@ def _median3(time_once) -> "tuple[float, float]":
 
 
 def _base_record(model_name, image_size, sweep, spreads, roofline,
-                 flops_per_img) -> dict:
-    """Best sweep point + the record fields both bench modes share."""
+                 flops_per_img, pin_batch=None) -> dict:
+    """Headline sweep point + the record fields both bench modes share.
+
+    pin_batch: when that batch was measured, it is the HEADLINE (`value`/
+    `best_batch`) and best-of-sweep moves under `best_of_sweep` — ONE
+    definition for the single-model JSON, the --model all table rows, and
+    --merge-into (round-4 verdict: BENCH led with best-of-sweep batch 16
+    while BENCH_all led with pinned 128). Used for the DenseNet family,
+    whose sweep is non-monotonic on XLA layout flips (see sweep_note)."""
     measured = {b: v for b, v in sweep.items() if v != "oom"}
     assert measured, f"every sweep batch OOM'd for {model_name}: {sweep}"
     best_bs = max(measured, key=measured.get)
-    img_s = measured[best_bs]
-    return {
+    head_bs = pin_batch if pin_batch in measured else best_bs
+    img_s = measured[head_bs]
+    rec = {
         "model": model_name,
         "image_size": image_size,
         "value": img_s,
         "unit": "images/sec",
-        "best_batch": best_bs,
-        "spread_pct": spreads.get(best_bs),
+        "best_batch": head_bs,
+        "spread_pct": spreads.get(head_bs),
         "mfu": (round(img_s * flops_per_img / TPU_V5E_BF16_PEAK, 4)
                 if flops_per_img else None),
         "sweep": sweep,
         "sweep_spread_pct": spreads,
         "roofline": roofline,
     }
+    if head_bs != best_bs:
+        rec["pinned_batch"] = head_bs
+        rec["best_of_sweep"] = {
+            "value": measured[best_bs], "batch": best_bs,
+            "spread_pct": spreads.get(best_bs),
+        }
+    return rec
 
 
 def bench_arch(model_name: str, image_size: int, batches, steps: int,
@@ -241,7 +256,8 @@ def bench_arch(model_name: str, image_size: int, batches, steps: int,
         )
 
     rec = _base_record(model_name, image_size, sweep, spreads, roofline,
-                       flops_per_img)
+                       flops_per_img,
+                       pin_batch=128 if "densenet" in model_name else None)
     if flops_per_img:
         rec["train_gflops_per_image"] = round(flops_per_img / 1e9, 2)
         rec["ref_bound_img_s"] = round(
@@ -533,33 +549,23 @@ def main() -> int:
 
     # ONE headline definition everywhere (round-4 verdict: BENCH_r04 led
     # with best-of-sweep batch 16 — whose own roofline row flags unreliable
-    # accounting — while BENCH_all led with pinned 128): the headline VALUE
-    # is the pinned-batch rate whenever the sweep measured it; best-of-sweep
-    # stays available under `best_of_sweep`. 128 is the stable optimum
-    # (batch-16/64 points sit on XLA layout flips, traced r4).
-    pinned_batch = 128
-    pinned = rec["sweep"].get(pinned_batch)
-    headline_is_pinned = isinstance(pinned, (int, float))
-    value = pinned if headline_is_pinned else rec["value"]
-    head_batch = pinned_batch if headline_is_pinned else rec["best_batch"]
+    # accounting — while BENCH_all led with pinned 128): _base_record pins
+    # the DenseNet family's headline at batch 128 for the single-model JSON,
+    # the --model all table rows, AND --merge-into; best-of-sweep stays
+    # available under `best_of_sweep`.
+    headline_is_pinned = "pinned_batch" in rec
     result = {
         "metric": f"{args.model} train fwd+bwd images/sec/chip "
-                  f"({'pinned batch %d' % pinned_batch if headline_is_pinned
+                  f"({'pinned batch %d' % rec['best_batch'] if headline_is_pinned
                       else 'best'} of batch sweep {batches}, "
                   f"{image_size}x{image_size}, bf16)",
-        "value": value,
+        "value": rec["value"],
         "unit": "images/sec",
-        "vs_baseline": (round(value / rec["ref_bound_img_s"], 3)
-                        if rec.get("ref_bound_img_s") else None),
-        "best_batch": head_batch,
-        "spread_pct": rec["sweep_spread_pct"].get(head_batch),
-        "mfu": (round(rec["mfu"] * value / rec["value"], 4)
-                if rec.get("mfu") else None),
-        "best_of_sweep": {
-            "value": rec["value"],
-            "batch": rec["best_batch"],
-            "spread_pct": rec["spread_pct"],
-        },
+        "vs_baseline": rec.get("vs_baseline"),
+        "best_batch": rec["best_batch"],
+        "spread_pct": rec["spread_pct"],
+        "mfu": rec["mfu"],
+        **({"best_of_sweep": rec["best_of_sweep"]} if headline_is_pinned else {}),
         "sweep": rec["sweep"],
         "sweep_spread_pct": rec["sweep_spread_pct"],
         # The non-monotonic sweep (dip at batch 64) is a LAYOUT-ASSIGNMENT

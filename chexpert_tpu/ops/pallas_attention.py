@@ -1300,8 +1300,18 @@ def aa_attention_pallas(
             qrw = packed_q_relw_bd(q, rel_w.astype(q.dtype), H, W)
             q2d = q.reshape(B, nh, H, W, dkh)
             ih = jnp.arange(H)
-            rel_h_abs = rel_h.astype(q.dtype)[:, ih[None, :] - ih[:, None] + H - 1]
-            rh5 = jnp.einsum("bnhwd,dhm->bnhwm", q2d, rel_h_abs)
+            if os.environ.get("CHEXPERT_REL_H") == "mmskew":
+                # honor the height-side A/B lever here too (it lives in
+                # rel_h_compact for the flat path; silently ignoring it
+                # would record an A/B of two identical graphs)
+                u = jnp.einsum("bnhwd,dr->bnhwr", q2d, rel_h.astype(q.dtype))
+                idx = ih[None, :] - ih[:, None] + H - 1
+                rh5 = jnp.take_along_axis(
+                    u, idx[None, None, :, None, :], axis=-1)
+            else:
+                rel_h_abs = rel_h.astype(q.dtype)[
+                    :, ih[None, :] - ih[:, None] + H - 1]
+                rh5 = jnp.einsum("bnhwd,dhm->bnhwm", q2d, rel_h_abs)
             qr = jnp.concatenate(
                 [qrw.reshape(B, nh, H, W, dkh + W), rh5.astype(q.dtype)], axis=-1
             ).reshape(B, nh, hw, dkh + W + H)

@@ -288,6 +288,13 @@ def main(argv=None) -> int:
                         "actually gates compute regressions")
     args = p.parse_args(argv)
 
+    # validate BEFORE any chip time is spent (same rule as bench.py's
+    # --merge-into): a refused proof after the multi-hour gate run wastes it
+    if args.pretrained_proof and not args.tiny:
+        assert args.arch in ("densenet121", "resnet152"), (
+            "--pretrained-proof covers the torchvision-importable archs "
+            "(densenet121, resnet152)")
+
     if args.tiny:
         import jax
 
@@ -487,6 +494,14 @@ def main(argv=None) -> int:
             caught = not (checks["single_model_mean_auc"][2]
                           and checks["ensemble_mean_auc"][2])
         result["sabotage"] = args.sabotage
+        if args.sabotage == "einsum":
+            result["sabotage_note"] = (
+                f"einsum run at batch {batch} (its (B,nh,HW,HW) f32 logits "
+                "+ softmax residuals OOM at the gate's default batch); the "
+                "floor failure is attributable to einsum, not the batch — "
+                "the same-session batch-16 pallas COMPUTE rate is 144.8 "
+                "img/s (BENCH r5 A/B) vs the 97 img/s floor, and the probed "
+                "link feeds well above it")
         result["acceptance"] = "PASS" if caught else "FAIL"
         result["arch"] = result["arch"] + f"+sabotage_{args.sabotage}"
         print(json.dumps(result))

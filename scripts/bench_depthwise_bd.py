@@ -89,23 +89,35 @@ def main() -> None:
             return fn
 
         def grad_time(op):
+            """Compile, PLAN the footprint from XLA's memory analysis, and
+            only then execute — an OOM'd TPU execution leaks backend memory
+            that poisons every later measurement in this process (CLAUDE.md
+            environment gotchas), so infeasible candidates are skipped from
+            the compiled plan, never probed."""
             f = jax.jit(jax.grad(
                 lambda x, w: chain(op, Rg)(x, w).astype(jnp.float32).sum(),
                 argnums=(0, 1)))
+            ma = f.lower(x, w3).compile().memory_analysis()
+            cost = float(ma.temp_size_in_bytes + ma.argument_size_in_bytes
+                         + ma.output_size_in_bytes)
+            if cost > 13e9:  # ~16 GB HBM minus runtime reserves
+                return None
             return time_fn(lambda *a: f(*a)[0], x, w3) / Rg
 
         x_op = lambda x, w: _xla_depthwise(x, w.reshape(k, k, 1, C), 1, k)
         txg = grad_time(x_op)
+        assert txg is not None, "XLA depthwise baseline must fit"
 
         candidates = sorted({gg for gg in (8, 16, 32, 64, 128, C)
                              if C % gg == 0 and gg <= 128})
         results = {}
         for g in candidates:
-            try:
-                results[g] = grad_time(lambda x, w, g=g: bd_depthwise(x, w, k, g))
-            except Exception as e:  # OOM at big g
-                print(f"  g={g}: {type(e).__name__}", file=sys.stderr)
+            t = grad_time(lambda x, w, g=g: bd_depthwise(x, w, k, g))
+            if t is None:
+                print(f"  g={g}: skipped (planned footprint over budget)",
+                      file=sys.stderr)
                 continue
+            results[g] = t
         bg, bt = min(results.items(), key=lambda kv: kv[1]) if results else (0, float("inf"))
         best_total += n * min(bt, txg)
         xla_total += n * txg

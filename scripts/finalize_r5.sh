@@ -36,11 +36,20 @@ else:
     print("no ACCEPTANCE_r5.json produced")
 EOF
 
+BENCH_FILES=""
 if [ -f BENCH_all_r05.json ]; then
-  python scripts/gen_perf_table.py --write || true
+  # commit the artifact ONLY together with a freshly regenerated README
+  # table — committing one without the other leaves tests/test_docs.py red
+  if python scripts/gen_perf_table.py --write \
+     && python scripts/gen_perf_table.py --check; then
+    BENCH_FILES="BENCH_all_r05.json README.md"
+  else
+    echo "WARNING: README table regeneration failed; BENCH_all_r05.json" \
+         "left uncommitted for manual handling" >&2
+  fi
 fi
 
-git add ACCEPTANCE.json ACCEPTANCE_r5.json BENCH_all_r05.json README.md 2>/dev/null || true
+git add ACCEPTANCE.json ACCEPTANCE_r5.json $BENCH_FILES 2>/dev/null || true
 git commit -m "Record round-5 on-chip gate and bench artifacts
 
 ACCEPTANCE_r5.json: per-arch gate rows under the round-5 semantics (top-3

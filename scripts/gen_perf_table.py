@@ -76,13 +76,18 @@ def render(artifact_path: str) -> str:
 
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(description=__doc__)
-    p.add_argument("--artifact",
-                   default=sorted(glob.glob(os.path.join(REPO, "BENCH_all_r*.json")))[-1],
+    p.add_argument("--artifact", default=None,
                    help="defaults to the NEWEST committed BENCH_all_r*.json")
     p.add_argument("--readme", default=os.path.join(REPO, "README.md"))
     p.add_argument("--write", action="store_true")
     p.add_argument("--check", action="store_true")
     args = p.parse_args(argv)
+    if args.artifact is None:
+        found = sorted(glob.glob(os.path.join(REPO, "BENCH_all_r*.json")))
+        if not found:
+            print("no BENCH_all_r*.json artifact found", file=sys.stderr)
+            return 2
+        args.artifact = found[-1]
 
     table = render(args.artifact)
     if not (args.write or args.check):
