@@ -131,6 +131,16 @@ ARCH_GATE_EPOCHS = {"efficientnet-b0": 10, "efficientnet-b4": 10,
                     "efficientnet-b7": 10}     # BN momentum 0.01 timescale
 ARCH_GATE_BATCH = {"efficientnet-b7": 16}      # b7 @320^2 OOMs at batch 64
                                                # (BENCH sweeps 8/16 only)
+ARCH_GATE_EVAL = {"efficientnet-b7": 128}      # b7 trains at batch 16 ->
+                                               # 128 steps/epoch; the default
+                                               # 16-step cadence would write
+                                               # its ~1 GB of checkpoints
+                                               # (253 MB model + 503 MB optim
+                                               # + best-copy) 80 times, ~4 min
+                                               # of host I/O per eval (r5: the
+                                               # first b7 gate paced to ~12 h).
+                                               # One eval per epoch keeps 10
+                                               # tracked checkpoints like b4.
 ARCH_GATE_DECAY = {"efficientnet-b0": "0.999", "efficientnet-b4": "0.999",
                    "efficientnet-b7": "0.999"}  # the reference 0.97/step
                                                # decays lr to ~0 within ~150
@@ -363,12 +373,13 @@ def main(argv=None) -> int:
             # batch 16 fits. The floor proof is unaffected: the check is
             # that the recorded floor FAILS the halved-throughput run.
             batch = min(batch, 16)
+        eval_interval = ARCH_GATE_EVAL.get(args.arch, 16)
         train_flags = [
             "--model", args.arch, "--image_size", "320",
             "--batch_size", str(batch), "--n_epochs", str(epochs), "--lr", lr,
             "--lr_decay_factor", decay,
             "--compute_dtype", "bfloat16", "--log_interval", "8",
-            "--eval_interval", "16", "--packed_cache",
+            "--eval_interval", str(eval_interval), "--packed_cache",
             "--attn_impl", attn_impl,
             "--uncertain_policy", "zeros" if args.sabotage == "uzeros" else "ones",
         ]
