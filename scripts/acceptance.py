@@ -63,11 +63,9 @@ ARCH_THROUGHPUT_FLOORS = {
                                 # compute-bound at ~150 img/s, so e2e sits
                                 # well below the other archs by design
     "efficientnet-b4": 480.0,   # recorded 601.8 img/s e2e (ACCEPTANCE r4)
-    "efficientnet-b7": 160.0,   # PROVISIONAL (no recorded e2e run yet):
-                                # 0.8x of BENCH b7's 263 img/s compute row
-                                # scaled by aaresnet's e2e/compute ratio
-                                # (122/151) — calibrate from the first
-                                # recorded run like the other floors
+    "efficientnet-b7": 190.0,   # recorded 239.3 img/s e2e (ACCEPTANCE r5;
+                                # compute-bound arch — same-session compute
+                                # probe 262.0 vs the BENCH row's 262.8)
 }
 
 # Compute-only (synthetic device-resident batch) floors back the e2e check:
@@ -113,11 +111,11 @@ ARCH_AUC_BANDS = {
                                       # 17.3M params vs the gate's ~320
                                       # steps; REPRODUCE.md's real-data
                                       # recipe runs 60k+ steps)
-    "efficientnet-b7": (0.70, 0.97),  # PROVISIONAL (no recorded run yet):
-                                      # floor = b4's minus 0.05 (deeper,
-                                      # same BN timescale); calibrate to
-                                      # ~0.05 under the first recorded
-                                      # single-model value
+    "efficientnet-b7": (0.87, 0.97),  # recorded 0.9232 / 0.9219 (r5; b7
+                                      # at gate batch 16 sees 1280 steps —
+                                      # 4x b4's — so its BN timescale is
+                                      # actually covered and it converges
+                                      # like the strong archs)
 }
 
 # Arch-aware gate defaults, applied when the flag is not given explicitly:
