@@ -194,9 +194,10 @@ def rel_h_compact(q2d: jnp.ndarray, rel_h: jnp.ndarray) -> jnp.ndarray:
     and the BD-transpose alternatives measured slower on-chip).
     CHEXPERT_REL_H=mmskew: plain minor-dim matmul against the RAW (dkh,
     2H-1) embedding (no batch dims — no batch-major relayouts) followed by
-    a take_along_axis skew of the tiny last axis; worth re-measuring under
-    the round-5 vjp boundary (the round-3 loss was measured against the
-    OLD pack-inside-vjp graph)."""
+    a take_along_axis skew of the tiny last axis. Re-measured under the
+    round-5 vjp boundary: still a LOSS (750.3 vs fusedpack's 770.2 img/s on
+    aadensenet121 @128; bytes-accessed 119.5 vs 114.5 GB — the gather
+    materializes the wider (2H-1) intermediate). Kept as a tested opt-in."""
     B, nh, H, W, dkh = q2d.shape
     if os.environ.get("CHEXPERT_REL_H") == "mmskew":
         u = jnp.einsum("bnhwd,dr->bnhwr", q2d, rel_h)  # (B,nh,H,W,2H-1)
