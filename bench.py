@@ -405,7 +405,7 @@ def main() -> int:
     p.add_argument("--merge-into", default="", dest="merge_into",
                    help="merge this single-model run's arch record into an "
                         "existing --model all artifact (e.g. "
-                        "BENCH_all_r04.json) — refreshes one noisy row "
+                        "BENCH_all_r05.json) — refreshes one noisy row "
                         "without re-benching the whole table; refused when "
                         "A/B overrides are active")
     args = p.parse_args()
